@@ -1,0 +1,153 @@
+"""Public API: `atlasqtl()` — flexible sparse multi-response regression with
+annealed variational inference, TPU-native.
+
+Re-design of the reference entry point (R/atlasqtl.R:179-322): same surface
+(Y, X, p0, anneal, tol, maxit, seeds, hyper/init overrides, checkpoint/trace
+paths, collinear re-add), same outputs (beta_vb, gam_vb, theta_vb, zeta_vb,
+convergence state), running on JAX/XLA with a blocked MXU CAVI sweep.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .types import Config
+from .io.prepare import prepare_data, add_collinear_back
+from .inference import elicitation as elic
+from .inference.driver import fit_global_local
+from .inference.summarise import AtlasQTLResult
+from .models import global_local as gl
+from .ops.annealing import check_annealing
+
+log = logging.getLogger("atlasqtl_tpu")
+
+
+def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
+             maxit: int = 1000, user_seed=None, verbose: int = 1,
+             list_hyper: Optional[elic.HyperSpec] = None,
+             list_init: Optional[elic.InitSpec] = None,
+             save_hyper: bool = False, save_init: bool = False,
+             full_output: bool = False, thinned_elbo_eval: bool = True,
+             checkpoint_path=None, trace_path=None,
+             add_collinear_back_: bool = False,
+             dtype=None, block_size: int = 128,
+             batch: str = "y") -> AtlasQTLResult:
+    """Fit the global-local hotspot model (reference: atlasqtl, R/atlasqtl.R).
+
+    Extra TPU-native knobs: `dtype` (jnp.float32 default; jnp.float64 for
+    reference-grade precision), `block_size` (predictor block for the MXU
+    sweep).  `batch` is kept for surface parity; only the reference's
+    supported "y" scheme exists ("0" maps to block_size=1, the same math).
+    """
+    if verbose not in (0, 1, 2):
+        raise ValueError("verbose must be 0, 1 or 2")
+    if batch not in ("y", "0"):
+        raise ValueError("Batch scheme not defined. Exit.")
+    check_annealing(None if anneal is None else np.asarray(anneal, float))
+
+    dat = prepare_data(Y, X, tol, maxit, user_seed, verbose,
+                       checkpoint_path, trace_path)
+    n, p = dat.x.shape
+    q = dat.y.shape[1]
+    shr_fac_inv = float(q)  # 1/shrinkage factor for the global variance
+                            # (reference: R/atlasqtl.R:218)
+
+    if list_hyper is None or list_init is None:
+        p0_arr = np.asarray(p0, dtype=float)
+        if p0_arr.shape != (2,) or (p0_arr <= 0).any():
+            raise ValueError("p0 must be a positive vector of length 2")
+    elif p0 is not None:
+        log.warning("Provided argument p0 not used, as both list_hyper and "
+                    "list_init were provided.")
+
+    # hyperparameters (reference: prepare_list_hyper_, R/prepare_atlasqtl.R:131-182)
+    if list_hyper is None:
+        hyper_spec = elic.auto_set_hyper(dat.y, p, p0)
+    else:
+        expected_p = len(dat.bool_rmvd_x) if not list_hyper.auto else p
+        if list_hyper.q != q:
+            raise ValueError("list_hyper dimensions (q) inconsistent with Y")
+        if list_hyper.p != expected_p:
+            raise ValueError("list_hyper dimensions (p) inconsistent with X")
+        hyper_spec = list_hyper
+
+    # initialization (reference: prepare_list_init_, R/prepare_atlasqtl.R:189-249)
+    if list_init is None:
+        init_spec = elic.auto_set_init(dat.y, p, p0, shr_fac_inv, user_seed)
+    else:
+        expected_p = len(dat.bool_rmvd_x) if not list_init.auto else p
+        if list_init.q != q:
+            raise ValueError("list_init dimensions (q) inconsistent with Y")
+        if list_init.p != expected_p:
+            raise ValueError("list_init dimensions (p) inconsistent with X")
+        init_spec = list_init
+        if not list_init.auto and dat.bool_rmvd_x.any():
+            keep = ~dat.bool_rmvd_x
+            init_spec = dataclasses.replace(
+                list_init, p=p,
+                gam_vb=list_init.gam_vb[keep], mu_beta_vb=list_init.mu_beta_vb[keep],
+                sig2_theta_vb=list_init.sig2_theta_vb[keep],
+                theta_vb=list_init.theta_vb[keep])
+
+    if dtype is None:
+        dtype = jnp.float32
+    cfg = Config(block_size=(1 if batch == "0" else block_size), dtype=dtype,
+                 tol=float(tol), maxit=int(maxit), df=1,
+                 shr_fac_inv=shr_fac_inv,
+                 thinned_elbo_eval=thinned_elbo_eval, debug=True)
+
+    data = gl.build_data(dat.x, dat.y, cfg)
+    hyper = gl.build_hyper(hyper_spec, data.y.shape[1], cfg)
+    state = gl.build_state(init_spec, data, cfg)
+
+    checkpointer = tracer = None
+    if checkpoint_path is not None:
+        from .io.checkpoint import Checkpointer
+        checkpointer = Checkpointer(checkpoint_path, dat.names_x, dat.names_y,
+                                    p, q)
+    if trace_path is not None:
+        from .io.trace import HotspotTrace
+        tracer = HotspotTrace(trace_path, shr_fac_inv, p)
+
+    res = fit_global_local(data, hyper, state, cfg, anneal=anneal,
+                           verbose=verbose, checkpointer=checkpointer,
+                           tracer=tracer)
+    if checkpointer is not None and res.converged:
+        # reference cleans up unconditionally (R/utils.R:614-627); we keep the
+        # last snapshots on non-convergence so runs can be resumed
+        checkpointer.clean_up()
+
+    st = res.state
+    gam_vb = np.asarray(st.gam, np.float64)[:p, :q]
+    beta_vb = np.asarray(st.gam * st.mu_beta, np.float64)[:p, :q]
+    theta_vb = np.asarray(st.theta, np.float64)[:p]
+    zeta_vb = np.asarray(st.zeta, np.float64)[:q]
+    lam2_inv_vb = np.asarray(st.lam2_inv, np.float64)[:p]
+
+    names_x = dat.names_x
+    if add_collinear_back_ and len(dat.rmvd_coll_x) > 0:
+        beta_vb, gam_vb, theta_vb, names_x = add_collinear_back(
+            beta_vb, gam_vb, theta_vb, dat.initial_colnames_x,
+            dat.rmvd_coll_x, dat.names_x)
+
+    result = AtlasQTLResult(
+        beta_vb=beta_vb, gam_vb=gam_vb, theta_vb=theta_vb, zeta_vb=zeta_vb,
+        converged=res.converged, it=res.it, lb_opt=res.lb_opt,
+        diff_lb=res.diff_lb, n=n, p=p, q=q, p0=None if p0 is None else tuple(
+            np.asarray(p0, float)),
+        anneal=None if anneal is None else tuple(np.asarray(anneal, float)),
+        tol=float(tol), maxit=int(maxit),
+        rmvd_cst_x=dat.rmvd_cst_x, rmvd_coll_x=dat.rmvd_coll_x,
+        names_x=names_x, names_y=dat.names_y,
+        elbo_history=res.elbo_history,
+        lam2_inv_vb=lam2_inv_vb,
+        sig02_inv_vb=float(st.sig02_inv),
+        list_hyper=hyper_spec if save_hyper else None,
+        list_init=init_spec if save_init else None,
+        full_state=res.state if full_output else None,
+    )
+    return result

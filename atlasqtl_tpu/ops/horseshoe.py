@@ -1,0 +1,96 @@
+"""Horseshoe local/global scale updates (global-local hotspot propensity).
+
+TPU-native re-design of the reference's horseshoe machinery:
+- exact df=1 update via Q(x) = e^x E1(x) (R/atlasqtl_global_local_core.R:241-274)
+- annealed update via incomplete-gamma / Kummer ratios (R/update_vb.R:70-85)
+- general odd-df integrals int_0^inf x^n (1+a x)^{-m} e^{-b x} dx via
+  Gauss-Laguerre quadrature in log-space — a numerically-equivalent
+  replacement for the closed-form log-sum-exp cascades of
+  R/utils.R:425-568, exact to quadrature tolerance and fully batched.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from .special import q_approx, upper_gamma_ratio, hyperg_1f1
+
+
+def lam2_inv_exact(l_vb, df: int = 1):
+    """Exact (c=1) local-scale update E_q[1/lam^2].
+
+    df=1: 1/(Q(L) L) - 1                      (R/atlasqtl_global_local_core.R:250-254)
+    df=3: exp(-log3 - logL + log(1 - L Q) - log(Q(1+L) - 1)) - 1/3   (:258)
+    odd df>3: ratio of two hs integrals       (:260-272)
+    Returns (lam2_inv, q_app) so the ELBO can reuse Q(L).
+    """
+    q_app = q_approx(l_vb)
+    if df == 1:
+        lam2_inv = 1.0 / (q_app * l_vb) - 1.0
+    elif df == 3:
+        lam2_inv = jnp.exp(
+            -jnp.log(3.0) - jnp.log(l_vb)
+            + jnp.log(1.0 - l_vb * q_app)
+            - jnp.log(q_app * (1.0 + l_vb) - 1.0)
+        ) - 1.0 / 3.0
+    else:
+        expo = (df + 1) / 2
+        log_num = log_integral_hs(df, l_vb * df, m=expo, n=expo)
+        log_den = log_integral_hs(df, l_vb * df, m=expo, n=expo - 1)
+        lam2_inv = jnp.exp(log_num - log_den)
+    return lam2_inv, q_app
+
+
+def lam2_inv_annealed(l_vb, c_s, df: int = 1):
+    """Annealed local-scale update (R/update_vb.R:70-85); l_vb here is already
+    c_s * L / df as computed by the driver.
+
+    df=1: Gamma(2-c, L) / (Gamma(1-c, L) * L) - 1
+    df>1: Kummer-1F1 ratio (same formula as the reference's gsl path).
+    """
+    if df == 1:
+        return upper_gamma_ratio(c_s, l_vb) - 1.0
+    # General-df annealed branch (reference uses gsl::hyperg_1F1).
+    from jax.scipy.special import gammaln
+    c = c_s
+    g = lambda z: jnp.exp(gammaln(z))
+    a1 = c * (df - 1) / 2
+    a2 = c * (df + 1) / 2
+    num = (g(a1 + 2) * g(c) * hyperg_1f1(a1 + 2, 3 - c, l_vb)
+           / (c - 1) / (c - 2) / g(a2)
+           + g(2 - c) * l_vb ** (c - 2) * hyperg_1f1(a2, c - 1, l_vb))
+    den = (g(a1 + 1) * g(c) * hyperg_1f1(a1 + 1, 2 - c, l_vb)
+           / (c - 1) / g(a2)
+           + g(1 - c) * l_vb ** (c - 1) * hyperg_1f1(a2, c, l_vb))
+    return num / den / df
+
+
+_GL_NODES = 200
+
+
+def _laguerre_nodes(n=_GL_NODES):
+    # Gauss-Laguerre nodes/weights for int_0^inf f(x) e^{-x} dx.
+    x, w = np.polynomial.laguerre.laggauss(n)
+    return jnp.asarray(x), jnp.asarray(np.log(w))
+
+
+def log_integral_hs(alpha, beta, m, n):
+    """log of int_0^inf x^n (1 + alpha x)^{-m} e^{-beta x} dx, batched over
+    beta (reference closed forms: R/utils.R:425-568).
+
+    Substituting u = beta x reduces to a Gauss-Laguerre sum; all terms are
+    kept in log-space and combined with logsumexp for stability.
+    """
+    nodes, log_w = _laguerre_nodes()
+    beta = jnp.asarray(beta)
+    u = nodes  # (G,)
+    # integrand at x = u / beta: (u/beta)^n (1 + alpha u / beta)^{-m} e^{-u} * (1/beta)
+    log_terms = (
+        log_w[None, :]
+        + n * (jnp.log(u)[None, :] - jnp.log(beta)[..., None])
+        - m * jnp.log1p(alpha * u[None, :] / beta[..., None])
+        - jnp.log(beta)[..., None]
+    )
+    return logsumexp(log_terms, axis=-1)

@@ -1,0 +1,160 @@
+"""Jittable special functions for the horseshoe CAVI updates.
+
+TPU-native equivalents of the reference package's external math dependencies
+(reference: R/utils.R:149-203, 346-423; gsl `expint_E1`, `gamma_inc`,
+`hyperg_1F1`; PowerTOST `OwensT`).  Everything here is pure JAX, vectorized,
+static-shape and safe under jit/vmap/shard_map.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, digamma, ndtri  # noqa: F401 (re-export)
+from jax.scipy.special import log_ndtr as _log_ndtr
+from jax.scipy.special import gammaincc as _gammaincc
+
+_LOG_SQRT_2PI = 0.9189385332046727417803297364056176  # log(sqrt(2*pi))
+_EULER_GAMMA = 0.5772156649015328606065120900824024
+
+
+def log1pexp(x):
+    """Overflow-safe log(1 + exp(x)) (reference: R/utils.R:149-155,
+    src/coreLoop.cpp:28-33)."""
+    return jnp.logaddexp(x, 0.0)
+
+
+def log_ndtr_both(x):
+    """(log Phi(x), log(1 - Phi(x))) — the pair used everywhere for the probit
+    inclusion prior (reference: R/atlasqtl_global_local_core.R:61-63)."""
+    return _log_ndtr(x), _log_ndtr(-x)
+
+
+def inv_mills_ratio(y: int, u, log_1_pnorm_u, log_pnorm_u):
+    """Inverse Mills ratio for the truncated-normal posterior mean of the
+    probit latent variable (reference: R/utils.R:172-191).
+
+    y must be a static Python int in {0, 1}.
+    """
+    if y == 1:
+        m = jnp.exp(-0.5 * u * u - _LOG_SQRT_2PI - log_pnorm_u)
+        # reference clamps m at -U elementwise (m[m < -U] <- -U)
+        m = jnp.maximum(m, -u)
+    else:
+        m = -jnp.exp(-0.5 * u * u - _LOG_SQRT_2PI - log_1_pnorm_u)
+        m = jnp.minimum(m, -u)
+    return m
+
+
+def _e1_series(x):
+    """E1(x) for 0 < x <= 1 via the convergent power series
+    E1(x) = -gamma - log x + sum_{k>=1} (-1)^{k+1} x^k / (k * k!)."""
+    # 30 terms: remainder < 1/(30*30!) at x=1, far below f64 eps.
+    def body(k, carry):
+        term, acc = carry
+        kf = k.astype(x.dtype)
+        term = term * (-x) / kf
+        acc = acc - term / kf
+        return term, acc
+
+    term0 = jnp.ones_like(x)
+    acc0 = jnp.zeros_like(x)
+    term, acc = jax.lax.fori_loop(1, 31, body, (term0, acc0))
+    return -_EULER_GAMMA - jnp.log(x) + acc
+
+
+def _q_lentz_cf(x, n_iter: int = 80):
+    """Q(x) = e^x E1(x) for x > 1 via the modified Lentz continued fraction,
+    same recurrence as the reference (R/utils.R:346-423) but with a fixed
+    iteration count so it is jittable.  80 iterations drives the update factor
+    |Delta - 1| below 1e-14 for all x >= 1."""
+    eps1 = jnp.asarray(1e-30, x.dtype)
+    f = jnp.full_like(x, eps1)
+    C = jnp.full_like(x, eps1)
+    D = jnp.zeros_like(x)
+
+    def body(j, carry):
+        f, C, D = carry
+        jf = j.astype(x.dtype)
+        a = (jf - 1.0) ** 2
+        b = x + 2.0 * jf - 1.0
+        D = 1.0 / (b - a * D)
+        C = b - a / C
+        f = f * (C * D)
+        return f, C, D
+
+    f, C, D = jax.lax.fori_loop(2, 2 + n_iter, body, (f, C, D))
+    return 1.0 / (x + 1.0 + f)
+
+
+def q_approx(x):
+    """Q(x) = e^x E1(x), the key quantity of the exact df=1 horseshoe
+    local-scale update lam2_inv = 1/(Q(L) L) - 1
+    (reference: R/utils.R:346-423, R/atlasqtl_global_local_core.R:250-254).
+
+    Series branch for x <= 1, Lentz continued fraction for x > 1.
+    """
+    x = jnp.asarray(x)
+    safe_lo = jnp.maximum(jnp.minimum(x, 1.0), jnp.finfo(x.dtype).tiny)
+    safe_hi = jnp.maximum(x, 1.0)
+    lo = jnp.exp(safe_lo) * _e1_series(safe_lo)
+    hi = _q_lentz_cf(safe_hi)
+    return jnp.where(x <= 1.0, lo, hi)
+
+
+def upper_gamma(a, x):
+    """Non-regularized upper incomplete gamma Gamma(a, x) for a > 0
+    (reference dep: gsl::gamma_inc at R/update_vb.R:74; only a in (0, 2) is
+    exercised by the annealed df=1 local-scale update)."""
+    return jnp.exp(jnp.log(_gammaincc(a, x)) + gammaln(a))
+
+
+def upper_gamma_ratio(c, x):
+    """Gamma(2-c, x) / (Gamma(1-c, x) * x) computed via regularized gammas:
+    ratio = [P-free] Gamma(2-c,x)/Gamma(1-c,x) = gammaincc(2-c,x)*Gamma(2-c) /
+    (gammaincc(1-c,x)*Gamma(1-c)).  Stable in log-space."""
+    log_num = jnp.log(_gammaincc(2.0 - c, x)) + gammaln(2.0 - c)
+    log_den = jnp.log(_gammaincc(1.0 - c, x)) + gammaln(1.0 - c)
+    return jnp.exp(log_num - log_den - jnp.log(x))
+
+
+def hyperg_1f1(a, b, x, n_terms: int = 400):
+    """Kummer confluent hypergeometric 1F1(a; b; x) by direct series with a
+    fixed number of terms (reference dep: gsl::hyperg_1F1 at
+    R/update_vb.R:78-81, used only by the annealed general-df local update).
+
+    Valid for b not a non-positive integer.  Accuracy degrades for large |x|
+    (>~50) due to cancellation — the annealed general-df path guards its
+    arguments accordingly.
+    """
+    x = jnp.asarray(x)
+    a = jnp.asarray(a, x.dtype)
+    b = jnp.asarray(b, x.dtype)
+
+    def body(n, carry):
+        term, acc = carry
+        nf = n.astype(x.dtype)
+        term = term * (a + nf) / (b + nf) * x / (nf + 1.0)
+        return term, acc + term
+
+    term0 = jnp.ones_like(x + a + b)
+    acc0 = term0
+    _, acc = jax.lax.fori_loop(0, n_terms, body, (term0, acc0))
+    return acc
+
+
+def owens_t(h, a, n_nodes: int = 64):
+    """Owen's T function T(h, a) = 1/(2*pi) * int_0^a exp(-h^2(1+t^2)/2)/(1+t^2) dt
+    via fixed Gauss-Legendre quadrature (reference dep: PowerTOST::OwensT at
+    R/utils.R:227).  Used in the (n0, t02) elicitation; accurate to ~1e-14 for
+    |a| <= 1 which is the only regime the elicitation exercises
+    (a = 1/sqrt(1+2*s2) <= 1)."""
+    import numpy as np
+
+    nodes, weights = np.polynomial.legendre.leggauss(n_nodes)
+    h = jnp.asarray(h)
+    a = jnp.asarray(a)
+    # map t in [-1, 1] -> u in [0, a]
+    u = 0.5 * a[..., None] * (nodes + 1.0)
+    w = 0.5 * a[..., None] * weights
+    integrand = jnp.exp(-0.5 * h[..., None] ** 2 * (1.0 + u * u)) / (1.0 + u * u)
+    return jnp.sum(w * integrand, axis=-1) / (2.0 * jnp.pi)

@@ -1,0 +1,174 @@
+"""Batch coordinate-ascent (Gauss-Seidel) sweep — the hot loop.
+
+TPU-native re-design of the reference's C++ kernels `coreDualLoop` /
+`coreDualMisLoop` (src/coreLoop.cpp:38-138).  Two deliberate departures from
+the reference algorithm, both exact (same math, same update order):
+
+1. **n-space residual statistic.**  The reference carries the Gram-space
+   statistic cp_betaX_X = X^T X beta and pays O(p) per coordinate update
+   (O(p^2 q) per sweep) plus O(p^2) memory for X^T X.  We carry
+   F = X beta (n x q) instead: each coordinate needs x_j^T F (an n-length
+   contraction) and each accepted update is a rank-1 n-space correction,
+   giving O(n p q) per sweep with no p x p Gram — for QTL shapes (n << p)
+   this is a ~p/n-fold algorithmic speedup and removes the memory wall at
+   p = 300k.  The two statistics are linked by cp_betaX_X[j,k] = x_j^T F_k,
+   so every per-coordinate quantity is bit-for-bit the same expression.
+
+2. **Blocked scheduling for the MXU.**  Predictors are processed in blocks of
+   size B: the B residual projections are computed with one (B,n)x(n,q)
+   matmul, the strictly-sequential within-block corrections use the B x B
+   block Gram (rank-1 updates on a (B,q) tile), and the fitted matrix is
+   advanced with one (n,B)x(B,q) matmul per block.  Update order (k-major,
+   j ascending — the reference's fixed 0..p-1 / 0..q-1 ordering,
+   R/atlasqtl_global_local_core.R:160-163) is preserved exactly, so the
+   scheme inherits the reference's batch-concavity argument unchanged.
+
+The missing-data variant masks in the n-dimension (F kept masked by the
+missingness pattern), replacing the reference's O(q p^2)-memory per-response
+Gram corrections (cp_X_rm, R/atlasqtl_global_local_core.R:25-32).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .special import log_ndtr_both
+
+
+class SweepConsts(NamedTuple):
+    """Per-iteration scalars/vectors consumed by the sweep."""
+    sig2_beta: jnp.ndarray      # (q,) or (p, q) when missing data
+    tau: jnp.ndarray            # (q,)
+    log_tau: jnp.ndarray        # (q,)
+    log_sig2_inv: jnp.ndarray   # scalar
+    theta: jnp.ndarray          # (p,)
+    zeta: jnp.ndarray           # (q,)
+    c: jnp.ndarray              # scalar inverse temperature
+
+
+def block_gram(x, block_size):
+    """Precompute the (nb, B, B) diagonal Gram blocks X_b^T X_b.
+
+    One-time O(p B n) — replaces the reference's full O(n p^2) X^T X
+    (R/atlasqtl_global_local_core.R:41)."""
+    n, p = x.shape
+    nb = p // block_size
+    xb = jnp.moveaxis(x.reshape(n, nb, block_size), 1, 0)  # (nb, n, B)
+    return jnp.einsum("bni,bnj->bij", xb, xb,
+                      preferred_element_type=x.dtype)
+
+
+def _inner_gs(r0, g_b, cp_b, gam_b, mu_b, log_p_b, log_1p_b, consts,
+              sig2_beta_b=None):
+    """Sequential Gauss-Seidel over the B coordinates of one block,
+    vectorized over all q responses (the reference's j-inner loop,
+    src/coreLoop.cpp:64-84).
+
+    r0: (B, q) fresh residual projections x_j^T F (F includes each beta's own
+    contribution); g_b: (B, B) block Gram; cp_b: (B, q) block of X^T Y.
+    Returns updated (gam_b, mu_b) and delta = beta_new - beta_old (B, q).
+    """
+    c = consts.c
+    b = gam_b.shape[0]
+    if sig2_beta_b is None:  # complete-data: sig2_beta is (q,)
+        s2 = jnp.broadcast_to(consts.sig2_beta[None, :], gam_b.shape)
+    else:                    # missing-data: per-(j,k) variance
+        s2 = sig2_beta_b
+    cst = -(consts.log_tau[None, :] + consts.log_sig2_inv
+            + jnp.log(s2)) / 2.0                       # (B, q)
+    ct = c * s2 * consts.tau[None, :]                  # (B, q)
+
+    beta0 = gam_b * mu_b
+    d = jnp.diagonal(g_b)  # (B,)
+
+    def body(i, carry):
+        r, gam_b, mu_b, beta_b = carry
+        beta_old_i = beta_b[i]
+        r_i = r[i] - beta_old_i * d[i]
+        mu_i = ct[i] * (cp_b[i] - r_i)
+        logit = c * (log_1p_b[i] - log_p_b[i]
+                     - mu_i * mu_i / (2.0 * s2[i]) + cst[i])
+        gam_i = jax.nn.sigmoid(-logit)  # exp(-log1pexp(logit))
+        beta_i = gam_i * mu_i
+        delta_i = beta_i - beta_old_i
+        r = r + g_b[:, i][:, None] * delta_i[None, :]
+        return (r, gam_b.at[i].set(gam_i), mu_b.at[i].set(mu_i),
+                beta_b.at[i].set(beta_i))
+
+    _, gam_b, mu_b, beta_b = jax.lax.fori_loop(
+        0, gam_b.shape[0], body, (r0, gam_b, mu_b, beta0))
+    return gam_b, mu_b, beta_b - beta0
+
+
+def sweep_complete(x, cp_x_y, gram_blocks, gam, mu_beta, fitted, consts,
+                   block_size):
+    """Full sweep over all p predictors, complete-data path.
+
+    x: (n, p); cp_x_y: (p, q); gram_blocks: (nb, B, B);
+    gam/mu_beta: (p, q); fitted: (n, q) = X @ (gam*mu).
+    Returns (gam', mu_beta', fitted').
+    """
+    n, p = x.shape
+    q = gam.shape[1]
+    nb = p // block_size
+    xt_b = jnp.moveaxis(x.reshape(n, nb, block_size), 1, 0)  # (nb, n, B)
+    cp_b = cp_x_y.reshape(nb, block_size, q)
+    gam_b = gam.reshape(nb, block_size, q)
+    mu_b = mu_beta.reshape(nb, block_size, q)
+    theta_b = consts.theta.reshape(nb, block_size)
+
+    def step(fitted, inp):
+        xb, cpb, gamb, mub, gb, thb = inp
+        u = thb[:, None] + consts.zeta[None, :]
+        log_p, log_1p = log_ndtr_both(u)
+        r0 = jnp.einsum("ni,nq->iq", xb, fitted,
+                        preferred_element_type=fitted.dtype)
+        gamb, mub, delta = _inner_gs(r0, gb, cpb, gamb, mub, log_p, log_1p,
+                                     consts)
+        fitted = fitted + jnp.einsum("ni,iq->nq", xb, delta,
+                                     preferred_element_type=fitted.dtype)
+        return fitted, (gamb, mub)
+
+    fitted, (gam_out, mu_out) = jax.lax.scan(
+        step, fitted, (xt_b, cp_b, gam_b, mu_b, gram_blocks, theta_b))
+    return gam_out.reshape(p, q), mu_out.reshape(p, q), fitted
+
+
+def sweep_missing(x, cp_x_y, x_norm_sq, mis_pat, gam, mu_beta, fitted_masked,
+                  consts):
+    """Missing-data sweep: per-coordinate scan with the residual statistic
+    carried masked in n-space, Fm = mis_pat * (X beta).
+
+    Equivalent math to coreDualMisLoop (src/coreLoop.cpp:91-138) — the
+    per-response effective Gram entries arise implicitly as
+    x_j^T M_k x_j = x_norm_sq[j, k] and x_j^T Fm_k — with O(n q) memory
+    instead of the reference's O(q p^2) cp_X_rm list.
+    """
+    n, p = x.shape
+    q = gam.shape[1]
+
+    def step(fm, inp):
+        x_j, cp_j, gam_j, mu_j, s2_j, th_j, d_j = inp
+        u = th_j + consts.zeta  # (q,)
+        log_p, log_1p = log_ndtr_both(u)
+        beta_old = gam_j * mu_j
+        r = x_j @ fm - beta_old * d_j  # (q,)
+        mu_new = consts.c * s2_j * consts.tau * (cp_j - r)
+        logit = consts.c * (log_1p - log_p
+                            - mu_new * mu_new / (2.0 * s2_j)
+                            - jnp.log(s2_j) / 2.0
+                            - consts.log_tau / 2.0 - consts.log_sig2_inv / 2.0)
+        gam_new = jax.nn.sigmoid(-logit)
+        beta_new = gam_new * mu_new
+        fm = fm + mis_pat * (x_j[:, None] * (beta_new - beta_old)[None, :])
+        return fm, (gam_new, mu_new)
+
+    xt = x.T  # (p, n)
+    fitted_masked, (gam_out, mu_out) = jax.lax.scan(
+        step, fitted_masked,
+        (xt, cp_x_y, gam, mu_beta, consts.sig2_beta, consts.theta,
+         x_norm_sq))
+    return gam_out, mu_out, fitted_masked

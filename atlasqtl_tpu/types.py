@@ -1,0 +1,123 @@
+"""Pytree state containers for the TPU-native atlasqtl engine.
+
+These are the structured analogs of the reference's loose R lists:
+- Hyper      <-> `list_hyper` ("hyper"/"out_hyper" objects, R/set_hyper_init.R:98-197)
+- VBState    <-> the set of variational parameters carried through the CAVI loop
+                 (R/atlasqtl_global_local_core.R:45-63, 112-123)
+- Data       <-> the precomputed sufficient statistics (R/atlasqtl_global_local_core.R:19-42)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _pytree_dataclass(cls):
+    """Register a dataclass as a JAX pytree (all fields are leaves)."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+
+    def flatten(obj):
+        return [getattr(obj, name) for name in fields], None
+
+    def unflatten(_, leaves):
+        return cls(**dict(zip(fields, leaves)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_pytree_dataclass
+class Hyper:
+    """Model hyperparameters (reference: R/set_hyper_init.R:98-197).
+
+    eta, kappa, n0: (q,); nu, rho, t02, m0, a2_inv: scalars.
+    """
+    eta: Any
+    kappa: Any
+    n0: Any
+    nu: Any
+    rho: Any
+    t02: Any
+    m0: Any
+    a2_inv: Any
+
+
+@_pytree_dataclass
+class VBState:
+    """All variational parameters + carried sufficient statistics.
+
+    Shapes (padded): gam/mu_beta (p, q); theta/lam2_inv/sig2_theta (p,);
+    tau/zeta/sig2_beta (q,) [(p, q) sig2_beta in the missing-data path];
+    sig02_inv scalar; fitted (n, q) is the carried n-space residual statistic
+    F = X @ beta (masked by the missingness pattern when present) — the
+    TPU-native replacement for the reference's Gram-space cp_betaX_X
+    (src/coreLoop.cpp:71-81).
+    """
+    gam: Any
+    mu_beta: Any
+    sig2_beta: Any
+    tau: Any
+    sig2_inv: Any
+    theta: Any
+    zeta: Any
+    sig02_inv: Any
+    lam2_inv: Any
+    sig2_theta: Any
+    fitted: Any
+    # diagnostics carried for the ELBO (set by the iteration that produced
+    # this state; scalars)
+    l_vb: Any
+    rho_xi_inv: Any
+    nu_s0_vb: Any
+    rho_s0_vb: Any
+
+
+@_pytree_dataclass
+class Data:
+    """Preprocessed data + one-time sufficient statistics.
+
+    x: (n, p) standardized predictors (zero-padded past the true p);
+    y: (n, q) centered responses (NaNs replaced by 0, mask in mis_pat);
+    cp_x_y: (p, q) X^T Y;
+    y_norm_sq: (q,);
+    mis_pat: (n, q) 1/0 mask or None (complete data);
+    x_norm_sq: (p, q) (X^2)^T mis_pat or None;
+    n_eff: (q,) number of observed samples per response (= n when complete);
+    p_mask: (p,) 1.0 for real predictors, 0.0 for padding;
+    q_mask: (q,) 1.0 for real responses, 0.0 for padding.
+    """
+    x: Any
+    y: Any
+    cp_x_y: Any
+    y_norm_sq: Any
+    mis_pat: Any
+    x_norm_sq: Any
+    n_eff: Any
+    p_mask: Any
+    q_mask: Any
+    n: Any        # scalar number of samples (static python int kept as leaf)
+    p_true: Any   # true (unpadded) p
+    q_true: Any   # true (unpadded) q
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Static configuration for the CAVI engine (hashable; passed as a static
+    arg to jitted functions)."""
+    block_size: int = 128
+    dtype: Any = jnp.float32
+    elbo_dtype: Any = jnp.float64
+    use_pallas: bool = False
+    tol: float = 0.1
+    maxit: int = 1000
+    df: int = 1
+    shr_fac_inv: float = 1.0   # = q (set at fit time)
+    anneal_scale: bool = True
+    debug: bool = True
+    thinned_elbo_eval: bool = True
+    q_axis: Optional[str] = None   # mesh axis name for trait sharding

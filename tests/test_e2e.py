@@ -1,0 +1,111 @@
+"""End-to-end fits (the reference test suite's single assertion — convergence
+on the simulated fixture, tests/testthat/test_convergence.R — plus the
+stronger invariants the reference enforces implicitly: monotone ELBO in debug
+mode and correct hotspot recovery)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import atlasqtl_tpu as aq
+from conftest import simulate_fixture
+
+
+def _monotone(history):
+    eps = np.finfo(np.float64).eps ** 0.5
+    vals = [lb for _, lb in history]
+    return all(b + eps >= a for a, b in zip(vals, vals[1:]))
+
+
+def test_fixture_converges_annealed(fixture_small):
+    y, x, p_act = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123)
+    assert res.converged
+    assert _monotone(res.elbo_history)
+    hot = res.hotspot_sizes()
+    assert (hot[:p_act] > 10).all()          # true hotspots recovered
+    assert hot[p_act:].max() == 0            # no false hotspots
+
+
+def test_fixture_converges_no_annealing(fixture_small):
+    y, x, _ = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), anneal=None, dtype=jnp.float64,
+                      verbose=0, user_seed=1)
+    assert res.converged
+    assert _monotone(res.elbo_history)
+
+
+def test_missing_data_converges():
+    y, x, p_act = simulate_fixture(missing_frac=0.2, seed=5)
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=11, maxit=600)
+    assert res.converged
+    assert _monotone(res.elbo_history)
+    hot = res.hotspot_sizes()
+    assert (hot[:p_act] > 5).all()
+
+
+def test_float32_sweep_converges(fixture_small):
+    """f32 compute with f64 ELBO reductions must keep the monotonicity guard
+    satisfied on the small fixture (TPU production profile)."""
+    y, x, _ = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float32, verbose=0,
+                      user_seed=123)
+    assert res.converged
+
+
+def test_constant_and_collinear_columns():
+    y, x, _ = simulate_fixture()
+    x_aug = np.column_stack([x, np.ones(x.shape[0]), x[:, 0]])
+    res = aq.atlasqtl(y, x_aug, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123, add_collinear_back_=True)
+    assert res.converged
+    assert len(res.rmvd_cst_x) == 1
+    assert len(res.rmvd_coll_x) == 1
+    # collinear duplicate re-added with its twin's posterior
+    p_all = x.shape[1] + 1  # constant col dropped entirely, duplicate re-added
+    assert res.gam_vb.shape[0] == p_all
+    np.testing.assert_allclose(res.gam_vb[-1], res.gam_vb[0])
+
+
+def test_user_hyper_init_roundtrip(fixture_small):
+    y, x, _ = fixture_small
+    n, p = x.shape
+    q = y.shape[1]
+    hyper = aq.set_hyper(q, p, eta=1.0, kappa=1.0, n0=-2.0, nu=1.0, rho=1.0,
+                         t02=0.1)
+    rng = np.random.default_rng(0)
+    init = aq.set_init(
+        q, p,
+        gam_vb=rng.beta(1.0, 4.0 * q - 1.0, size=(p, q)),
+        mu_beta_vb=rng.normal(size=(p, q)),
+        sig02_inv_vb=float(rng.gamma(max(p, q), 1.0)),
+        sig2_beta_vb=1.0 / rng.gamma(2.0, 1.0, size=q),
+        sig2_theta_vb=1.0 / (q + rng.gamma(2.0, 1.0, size=p)),
+        tau_vb=np.ones(q),
+        theta_vb=rng.normal(size=p) * 0.1,
+        zeta_vb=rng.normal(-2.0, 0.1, size=q),
+    )
+    res = aq.atlasqtl(y, x, p0=None, list_hyper=hyper, list_init=init,
+                      dtype=jnp.float64, verbose=0)
+    assert res.converged
+
+
+def test_checkpoint_and_trace(tmp_path, fixture_small):
+    y, x, _ = fixture_small
+    ckpt = tmp_path / "ckpt"
+    trace = tmp_path / "trace"
+    ckpt.mkdir(); trace.mkdir()
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123, maxit=120, tol=1e-9,
+                      checkpoint_path=str(ckpt), trace_path=str(trace))
+    # run hits maxit (tiny tol) -> snapshots exist (rolling last two)
+    snaps = sorted(ckpt.glob("tmp_output_it_*.npz"))
+    assert not res.converged
+    assert snaps, "checkpoints should remain when not converged"
+    assert (trace / "traces_top_local_x_global_parameters.csv").exists()
+    # resume from the snapshot
+    init = aq.load_checkpoint(snaps[-1])
+    res2 = aq.atlasqtl(y, x, p0=(5, 25), anneal=None, list_init=init,
+                       dtype=jnp.float64, verbose=0, maxit=500)
+    assert res2.converged

@@ -1,0 +1,101 @@
+"""Special functions vs SciPy/NumPy oracles."""
+import numpy as np
+import pytest
+import scipy.special as sps
+
+import jax
+import jax.numpy as jnp
+
+from atlasqtl_tpu.ops import special as sp
+
+
+def test_log1pexp():
+    x = np.array([-800.0, -30.0, -1.0, 0.0, 1.0, 30.0, 800.0])
+    got = np.asarray(sp.log1pexp(jnp.asarray(x)))
+    exp = np.logaddexp(x, 0.0)
+    np.testing.assert_allclose(got, exp, rtol=1e-14)
+
+
+def test_log_ndtr_both():
+    x = np.linspace(-30, 30, 101)
+    lo, hi = sp.log_ndtr_both(jnp.asarray(x))
+    # atol covers the far tail where log Phi ~ -1e-7 and jax/scipy round
+    # differently at machine precision
+    np.testing.assert_allclose(np.asarray(lo), sps.log_ndtr(x), rtol=1e-10,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(hi), sps.log_ndtr(-x), rtol=1e-10,
+                               atol=1e-8)
+
+
+def test_q_approx_vs_scipy():
+    # Q(x) = e^x E1(x); check both branches (series x<=1, Lentz CF x>1)
+    x = np.concatenate([
+        np.geomspace(1e-8, 1.0, 50),
+        np.geomspace(1.0 + 1e-8, 500.0, 50),
+    ])
+    got = np.asarray(sp.q_approx(jnp.asarray(x)))
+    exp = sps.exp1(x) * np.exp(x)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_q_approx_large_x_asymptotic():
+    # e^x E1(x) ~ (1/x) sum_k (-1)^k k! / x^k for large x
+    x = np.geomspace(1e3, 1e8, 20)
+    got = np.asarray(sp.q_approx(jnp.asarray(x)))
+    acc = np.zeros_like(x)
+    term = np.ones_like(x)
+    for k in range(8):
+        acc = acc + term
+        term = term * -(k + 1) / x
+    np.testing.assert_allclose(got, acc / x, rtol=1e-10)
+
+
+def test_inv_mills_ratio():
+    u = np.linspace(-8, 8, 33)
+    lp, l1p = sps.log_ndtr(u), sps.log_ndtr(-u)
+    m1 = np.asarray(sp.inv_mills_ratio(1, jnp.asarray(u), jnp.asarray(l1p),
+                                       jnp.asarray(lp)))
+    m0 = np.asarray(sp.inv_mills_ratio(0, jnp.asarray(u), jnp.asarray(l1p),
+                                       jnp.asarray(lp)))
+    exp1_ = np.maximum(np.exp(-u**2/2 - 0.5*np.log(2*np.pi) - lp), -u)
+    exp0_ = np.minimum(-np.exp(-u**2/2 - 0.5*np.log(2*np.pi) - l1p), -u)
+    np.testing.assert_allclose(m1, exp1_, rtol=1e-10)
+    np.testing.assert_allclose(m0, exp0_, rtol=1e-10)
+
+
+def test_upper_gamma_ratio():
+    # the annealed df=1 local-scale update ratio vs scipy
+    for c in [0.5, 0.68, 0.9, 0.99]:
+        x = np.geomspace(1e-4, 1e3, 40)
+        got = np.asarray(sp.upper_gamma_ratio(c, jnp.asarray(x)))
+        g = lambda a: sps.gammaincc(a, x) * sps.gamma(a)
+        exp = g(2 - c) / (g(1 - c) * x)
+        np.testing.assert_allclose(got, exp, rtol=1e-8)
+
+
+def test_hyperg_1f1_series():
+    # moderate arguments against scipy.hyp1f1 (incl. negative non-integer b)
+    a, b = 1.3, 2.7
+    x = np.linspace(-5, 20, 21)
+    got = np.asarray(sp.hyperg_1f1(a, b, jnp.asarray(x)))
+    exp = sps.hyp1f1(a, b, x)
+    np.testing.assert_allclose(got, exp, rtol=1e-8)
+    got2 = np.asarray(sp.hyperg_1f1(0.7, -0.4, jnp.asarray(np.linspace(0.1, 5.0, 10))))
+    exp2 = sps.hyp1f1(0.7, -0.4, np.linspace(0.1, 5.0, 10))
+    np.testing.assert_allclose(got2, exp2, rtol=1e-7)
+
+
+def test_owens_t():
+    h = np.array([0.1, 0.5, 1.0, 2.0, 4.0])
+    a = np.array([0.05, 0.3, 0.7, 0.9, 1.0])
+    got = np.asarray(sp.owens_t(jnp.asarray(h), jnp.asarray(a)))
+    exp = sps.owens_t(h, a)
+    np.testing.assert_allclose(got, exp, atol=1e-12)
+
+
+def test_q_approx_jittable():
+    f = jax.jit(sp.q_approx)
+    x = jnp.asarray([0.5, 2.0])
+    np.testing.assert_allclose(np.asarray(f(x)),
+                               sps.exp1(np.asarray(x)) * np.exp(np.asarray(x)),
+                               rtol=1e-9)
