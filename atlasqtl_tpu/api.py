@@ -35,7 +35,7 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
              checkpoint_path=None, trace_path=None,
              add_collinear_back_: bool = False,
              dtype=None, block_size: int = 128,
-             batch: str = "y") -> AtlasQTLResult:
+             batch: str = "y", mesh=None) -> AtlasQTLResult:
     """Fit the global-local hotspot model (reference: atlasqtl, R/atlasqtl.R).
 
     Extra TPU-native knobs: `dtype` (jnp.float32 default; jnp.float64 for
@@ -100,9 +100,15 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
                  shr_fac_inv=shr_fac_inv,
                  thinned_elbo_eval=thinned_elbo_eval, debug=True)
 
-    data = gl.build_data(dat.x, dat.y, cfg)
+    from .parallel.mesh import (q_pad_multiple, shard_data, shard_hyper,
+                                shard_state)
+    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=q_pad_multiple(mesh))
     hyper = gl.build_hyper(hyper_spec, data.y.shape[1], cfg)
     state = gl.build_state(init_spec, data, cfg)
+    if mesh is not None:
+        data = shard_data(data, mesh)
+        hyper = shard_hyper(hyper, mesh)
+        state = shard_state(state, mesh)
 
     checkpointer = tracer = None
     if checkpoint_path is not None:

@@ -83,7 +83,7 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
         for c in ladder[:-1]:  # the final rung c = 1 exits annealing mode
             it += 1
             c_s = c if cfg.anneal_scale else 1.0
-            state = gl.cavi_iteration(data, hyper, state, gram_blocks,
+            state = gl.cavi_iteration_donated(data, hyper, state, gram_blocks,
                                       c, c_s, cfg=cfg, annealed=True)
             if verbose and (it == 1 or it % 5 == 0):
                 log.info("Iteration %d (temperature %.4g)", it, 1.0 / c)
@@ -99,7 +99,7 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
     while not converged and it < cfg.maxit:
         lb_old = lb_new
         it += 1
-        state = gl.cavi_iteration(data, hyper, state, gram_blocks,
+        state = gl.cavi_iteration_donated(data, hyper, state, gram_blocks,
                                   1.0, 1.0, cfg=cfg, annealed=False)
 
         if tracer is not None and (it == 1 or it % 25 == 0):

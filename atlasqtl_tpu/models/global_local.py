@@ -48,23 +48,35 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
         mis_pat = (~np.isnan(y)).astype(np.float64)
         mis_pat[:, q:] = 1.0  # padded responses behave as fully observed
         y = np.nan_to_num(y, nan=0.0)
-        x_norm_sq = (x ** 2).T @ mis_pat          # (p_pad, q_pad)
         n_eff = mis_pat[:, :].sum(axis=0)
     else:
         mis_pat = None
-        x_norm_sq = None
         n_eff = np.full(q_pad, float(n))
 
-    cp_x_y = x.T @ y                              # (p_pad, q_pad)
-    y_norm_sq = (y ** 2).sum(axis=0)
+    # O(npq) precomputes on device (host NumPy is the bottleneck at scale)
+    xd = jnp.asarray(x, dt)
+    yd = jnp.asarray(y, dt)
+    md = None if mis_pat is None else jnp.asarray(mis_pat, dt)
+
+    @partial(jax.jit, static_argnames=("missing",))
+    def _precompute(xd, yd, md, missing: bool):
+        cp_x_y = jnp.einsum("np,nq->pq", xd, yd, preferred_element_type=dt)
+        y_norm_sq = jnp.einsum("nq,nq->q", yd, yd)
+        x_norm_sq = (jnp.einsum("np,nq->pq", xd * xd, md,
+                                preferred_element_type=dt)
+                     if missing else None)
+        return cp_x_y, y_norm_sq, x_norm_sq
+
+    cp_x_y, y_norm_sq, x_norm_sq = _precompute(xd, yd, md,
+                                               missing=has_missing)
 
     p_mask = np.zeros(p_pad); p_mask[:p] = 1.0
     q_mask = np.zeros(q_pad); q_mask[:q] = 1.0
 
     j = lambda a: None if a is None else jnp.asarray(a, dt)
     return Data(
-        x=j(x), y=j(y), cp_x_y=j(cp_x_y), y_norm_sq=j(y_norm_sq),
-        mis_pat=j(mis_pat), x_norm_sq=j(x_norm_sq), n_eff=j(n_eff),
+        x=xd, y=yd, cp_x_y=cp_x_y, y_norm_sq=y_norm_sq,
+        mis_pat=md, x_norm_sq=x_norm_sq, n_eff=j(n_eff),
         p_mask=j(p_mask), q_mask=j(q_mask),
         n=jnp.asarray(float(n), dt),
         p_true=jnp.asarray(float(p), dt),
@@ -128,12 +140,11 @@ def build_state(init, data: Data, cfg: Config) -> VBState:
     sig2_theta = padp(init.sig2_theta_vb, 1.0)
     lam2_inv = np.ones(p_pad)
 
-    beta = gam * mu
-    fitted = np.asarray(data.x, np.float64) @ beta
+    beta = jnp.asarray(gam * mu, dt)
+    fitted = jnp.matmul(data.x, beta, preferred_element_type=dt)
     if data.mis_pat is not None:
-        fitted = fitted * np.asarray(data.mis_pat, np.float64)
+        fitted = fitted * data.mis_pat
 
-    z = lambda: jnp.zeros((), dt)
     return VBState(
         gam=jnp.asarray(gam, dt), mu_beta=jnp.asarray(mu, dt),
         sig2_beta=jnp.asarray(sig2_beta, dt), tau=jnp.asarray(tau, dt),
@@ -142,17 +153,89 @@ def build_state(init, data: Data, cfg: Config) -> VBState:
         sig02_inv=jnp.asarray(init.sig02_inv_vb, dt),
         lam2_inv=jnp.asarray(lam2_inv, dt),
         sig2_theta=jnp.asarray(sig2_theta, dt),
-        fitted=jnp.asarray(fitted, dt),
+        fitted=fitted,
         l_vb=jnp.ones(p_pad, dt), rho_xi_inv=jnp.asarray(1.0, dt),
         nu_s0_vb=jnp.asarray(1.0, dt), rho_s0_vb=jnp.asarray(1.0, dt),
     )
+
+
+def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
+                     cfg: Config) -> VBState:
+    """Device-side random initialization for large problems — same sampling
+    distributions as the reference's auto_set_init_
+    (R/set_hyper_init.R:356-418), drawn with the JAX PRNG (rbg impl — the
+    threefry kernel takes minutes to compile at (p, q) scale on TPU) so no
+    host-side (p, q) float64 temporaries are materialized."""
+    from ..inference.elicitation import get_n0_t02
+    from jax.scipy.special import ndtr
+
+    dt = cfg.dtype
+    p_pad = data.x.shape[1]
+    q_pad = data.y.shape[1]
+    p_true = int(np.asarray(data.p_true))
+    q_true = int(np.asarray(data.q_true))
+
+    n0_vec, t02 = get_n0_t02(1, p_true, p0)
+    n0 = float(n0_vec[0])
+    s02 = 1e-4
+
+    med_var = float(np.nanmedian(np.asarray(
+        jnp.var(data.y[:, :q_true], axis=0, ddof=1))))
+    tau0 = 1.0 / med_var if np.isfinite(1.0 / med_var) else 1e3
+    sig2_inv0 = 1e-2
+
+    key = (seed if not isinstance(seed, int)
+           else jax.random.key(seed, impl="rbg"))
+    ks = jax.random.split(key, 8)
+
+    def _gamma_large(k, shape_param, size):
+        # Gamma(a, 1) ~= N(a, sqrt(a)) for large a — avoids the rejection
+        # sampler, which is extremely slow on TPU for big shape params
+        g = shape_param + jnp.sqrt(shape_param) * jax.random.normal(k, size, dt)
+        return jnp.maximum(g, 0.1 * shape_param)
+
+    @jax.jit
+    def _draw(ks):
+        pm = data.p_mask[:, None]
+        qm = data.q_mask[None, :]
+        gam = ndtr(n0 + (s02 + t02)
+                   * jax.random.normal(ks[0], (p_pad, q_pad), dt)) * pm * qm
+        mu = jax.random.normal(ks[1], (p_pad, q_pad), dt) * pm * qm
+        tau = jnp.full((q_pad,), tau0, dt)
+        # Gamma(2, 1) = sum of two exponentials (exact, sampler-free)
+        u = jax.random.uniform(ks[2], (2, q_pad), dt,
+                               minval=jnp.finfo(dt).tiny)
+        g2 = -jnp.log(u[0]) - jnp.log(u[1])
+        sig2_beta = 1.0 / (g2 / (sig2_inv0 * tau))
+        sig02_inv = _gamma_large(ks[3], float(max(p_true, q_true)), ())
+        theta = (jax.random.normal(ks[4], (p_pad,), dt)
+                 / jnp.sqrt(sig02_inv * shr_fac_inv)) * data.p_mask
+        sig2_theta = 1.0 / (q_true + _gamma_large(
+            ks[5], sig02_inv * shr_fac_inv, (p_pad,)))
+        zeta = (n0 + jnp.sqrt(t02)
+                * jax.random.normal(ks[6], (q_pad,), dt)) * data.q_mask
+        fitted = jnp.matmul(data.x, gam * mu, preferred_element_type=dt)
+        if data.mis_pat is not None:
+            fitted = fitted * data.mis_pat
+        sig2_beta_full = (jnp.broadcast_to(sig2_beta[None, :],
+                                           (p_pad, q_pad))
+                          if data.mis_pat is not None else sig2_beta)
+        return VBState(
+            gam=gam, mu_beta=mu, sig2_beta=sig2_beta_full, tau=tau,
+            sig2_inv=jnp.asarray(sig2_inv0, dt), theta=theta, zeta=zeta,
+            sig02_inv=sig02_inv, lam2_inv=jnp.ones(p_pad, dt),
+            sig2_theta=sig2_theta, fitted=fitted,
+            l_vb=jnp.ones(p_pad, dt), rho_xi_inv=jnp.asarray(1.0, dt),
+            nu_s0_vb=jnp.asarray(1.0, dt), rho_s0_vb=jnp.asarray(1.0, dt),
+        )
+
+    return _draw(ks)
 
 
 # ------------------------------------------------------------ one iteration
 
 def _colsum_stats(data: Data, state: VBState):
     """Masked column statistics shared by the tau/sigma updates."""
-    mask2 = data.p_mask[:, None] * data.q_mask[None, :]
     gam = state.gam  # already masked post-sweep
     beta = gam * state.mu_beta
     gam_colsum = jnp.sum(gam, axis=0)
@@ -169,9 +252,9 @@ def _colsum_stats(data: Data, state: VBState):
     return gam_colsum, m2b_colsum, m2b, beta2_colsum, yf_colsum, ff_colsum, beta
 
 
-@partial(jax.jit, static_argnames=("cfg", "annealed"))
-def cavi_iteration(data: Data, hyper: Hyper, state: VBState, gram_blocks,
-                   c, c_s, *, cfg: Config, annealed: bool) -> VBState:
+def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
+                         gram_blocks, c, c_s, *, cfg: Config,
+                         annealed: bool) -> VBState:
     """One CAVI iteration, update ordering identical to the reference loop
     (R/atlasqtl_global_local_core.R:125-338)."""
     dt = cfg.dtype
@@ -222,13 +305,13 @@ def cavi_iteration(data: Data, hyper: Hyper, state: VBState, gram_blocks,
         gam_new, mu_new, fitted = sweep_missing(
             data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, state.gam,
             state.mu_beta, state.fitted, consts)
-    mask2 = data.p_mask[:, None] * data.q_mask[None, :]
-    gam_new = gam_new * mask2
-    mu_new = mu_new * mask2
+    gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+    mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
 
     # 7: probit latent moments (:237)
     z_row, z_col = upd.z_moments(gam_new, state.theta, state.zeta,
-                                 data.p_mask, data.q_mask, c)
+                                 data.p_mask, data.q_mask, c,
+                                 block_size=cfg.block_size)
 
     # 8: horseshoe local scales — "keep this order!" (:239-274)
     l_vb = (c_s * state.sig02_inv * shr
@@ -266,6 +349,17 @@ def cavi_iteration(data: Data, hyper: Hyper, state: VBState, gram_blocks,
     )
 
 
+# Safe variant (callers may keep using the input state, e.g. tests).
+cavi_iteration = partial(jax.jit, static_argnames=("cfg", "annealed"))(
+    _cavi_iteration_impl)
+
+# Buffer-donating variant for the fit loop: the input state's large arrays
+# are reused for the output, halving peak HBM in steady state.
+cavi_iteration_donated = jax.jit(_cavi_iteration_impl,
+                                 static_argnames=("cfg", "annealed"),
+                                 donate_argnames=("state",))
+
+
 # -------------------------------------------------------------------- ELBO
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -273,9 +367,10 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
                  cfg: Config) -> jnp.ndarray:
     """8-term ELBO, evaluated at c = 1 with the reference's re-derivation of
     the Gamma factors "needed for monotonically increasing elbo"
-    (R/atlasqtl_global_local_core.R:440-495).  Accumulates in cfg.elbo_dtype.
+    (R/atlasqtl_global_local_core.R:440-495).  Accumulates in cfg.elbo_dtype
+    (falls back to cfg.dtype when float64 is not enabled).
     """
-    dt = cfg.elbo_dtype
+    dt = cfg.elbo_dtype if jax.config.jax_enable_x64 else cfg.dtype
     f = lambda a: jnp.asarray(a, dt)
     shr = jnp.asarray(cfg.shr_fac_inv, dt)
 

@@ -22,7 +22,10 @@ _EPS_GAM = jnp.finfo(jnp.float64).eps ** 0.75  # reference: R/elbo.R:15
 
 
 def _xlogx(g):
-    return g * jnp.log(g + _EPS_GAM)
+    # The where-guard keeps XLA's algebraic simplifier from reassociating
+    # (1 - g) + eps into (1 + eps) - g and constant-folding 1 + eps -> 1,
+    # which turns this into 0 * log(0) = NaN at g == 1 under fusion.
+    return g * jnp.log(jnp.where(g > 0, g + _EPS_GAM, _EPS_GAM))
 
 
 def e_beta_gamma_blocked(gam_b, mu_b, theta_b, zeta, log_tau, tau, sig2_beta,

@@ -51,7 +51,7 @@ def _e1_series(x):
     # 30 terms: remainder < 1/(30*30!) at x=1, far below f64 eps.
     def body(k, carry):
         term, acc = carry
-        kf = k.astype(x.dtype)
+        kf = jnp.asarray(k, x.dtype)
         term = term * (-x) / kf
         acc = acc - term / kf
         return term, acc
@@ -74,7 +74,7 @@ def _q_lentz_cf(x, n_iter: int = 80):
 
     def body(j, carry):
         f, C, D = carry
-        jf = j.astype(x.dtype)
+        jf = jnp.asarray(j, x.dtype)
         a = (jf - 1.0) ** 2
         b = x + 2.0 * jf - 1.0
         D = 1.0 / (b - a * D)
@@ -132,7 +132,7 @@ def hyperg_1f1(a, b, x, n_terms: int = 400):
 
     def body(n, carry):
         term, acc = carry
-        nf = n.astype(x.dtype)
+        nf = jnp.asarray(n, x.dtype)
         term = term * (a + nf) / (b + nf) * x / (nf + 1.0)
         return term, acc + term
 

@@ -10,6 +10,7 @@ from every reduction, so padding to TPU tile sizes never changes the math.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import digamma
 
@@ -92,23 +93,44 @@ def sig2_c0_update(d, s02, c=1.0):
     return 1.0 / (c * (d + 1.0 / s02))
 
 
-def z_moments(gam, theta, zeta, p_mask, q_mask, c=1.0):
+def _z_block(gam_b, theta_b, zeta, p_mask_b, q_mask, sqrt_c):
+    u = sqrt_c * (theta_b[:, None] + zeta[None, :])
+    log_p, log_1p = log_ndtr_both(u)
+    imr0 = inv_mills_ratio(0, u, log_1p, log_p)
+    imr1 = inv_mills_ratio(1, u, log_1p, log_p)
+    z = ((gam_b * (imr1 - imr0) + imr0) / sqrt_c
+         + (theta_b[:, None] + zeta[None, :]))
+    z = z * p_mask_b[:, None] * q_mask[None, :]
+    return jnp.sum(z, axis=1), jnp.sum(z, axis=0)
+
+
+def z_moments(gam, theta, zeta, p_mask, q_mask, c=1.0, block_size=None):
     """Row/column sums of the truncated-normal latent posterior mean Z
     (reference: R/update_vb.R:217-234) without materializing the p x q
-    matrices of Z or log Phi — recomputed blockwise and fused into the
-    reductions.  Returns (row_sums (p,), col_sums (q,)).
+    matrices of Z or log Phi — recomputed blockwise (lax.scan over predictor
+    blocks) and fused into the reductions.  Returns (row_sums (p,),
+    col_sums (q,)).
 
     Under annealing (c != 1) the probit argument is sqrt(c) (theta + zeta) and
     the inverse-Mills term is rescaled by 1/sqrt(c).
     """
     sqrt_c = jnp.sqrt(c)
-    u = sqrt_c * (theta[:, None] + zeta[None, :])
-    log_p, log_1p = log_ndtr_both(u)
-    imr0 = inv_mills_ratio(0, u, log_1p, log_p)
-    imr1 = inv_mills_ratio(1, u, log_1p, log_p)
-    z = (gam * (imr1 - imr0) + imr0) / sqrt_c + (theta[:, None] + zeta[None, :])
-    z = z * p_mask[:, None] * q_mask[None, :]
-    return jnp.sum(z, axis=1), jnp.sum(z, axis=0)
+    p, q = gam.shape
+    if block_size is None or p % block_size != 0 or p <= block_size:
+        return _z_block(gam, theta, zeta, p_mask, q_mask, sqrt_c)
+    nb = p // block_size
+    gam_b = gam.reshape(nb, block_size, q)
+    theta_b = theta.reshape(nb, block_size)
+    pm_b = p_mask.reshape(nb, block_size)
+
+    def step(col_acc, inp):
+        g, th, pm = inp
+        row, col = _z_block(g, th, zeta, pm, q_mask, sqrt_c)
+        return col_acc + col, row
+
+    col_sum, rows = jax.lax.scan(step, jnp.zeros(q, gam.dtype),
+                                 (gam_b, theta_b, pm_b))
+    return rows.reshape(p), col_sum
 
 
 def theta_update(z_rowsum, m0, sig02_lam_inv, sig2_theta, zeta_sum, c=1.0):

@@ -17,9 +17,14 @@ import jax.numpy as jnp
 
 
 def _pytree_dataclass(cls):
-    """Register a dataclass as a JAX pytree (all fields are leaves)."""
+    """Register a dataclass as a JAX pytree (all fields are leaves, keyed by
+    field name so shardings can be assigned by path)."""
     cls = dataclasses.dataclass(frozen=True)(cls)
     fields = [f.name for f in dataclasses.fields(cls)]
+
+    def flatten_with_keys(obj):
+        return ([(jax.tree_util.GetAttrKey(name), getattr(obj, name))
+                 for name in fields], None)
 
     def flatten(obj):
         return [getattr(obj, name) for name in fields], None
@@ -27,7 +32,8 @@ def _pytree_dataclass(cls):
     def unflatten(_, leaves):
         return cls(**dict(zip(fields, leaves)))
 
-    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    jax.tree_util.register_pytree_with_keys(cls, flatten_with_keys, unflatten,
+                                            flatten_func=flatten)
     return cls
 
 

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: CAVI iterations/s at the eQTL-scale single-host config
+(BASELINE.md: n=1k, p=50k SNPs, q=10k traits) on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured iterations/s divided by a *bandwidth-optimistic*
+model of the reference implementation on the same problem: the reference
+C++ sweep (src/coreLoop.cpp:38-86) performs p*q sequential coordinate
+updates, each streaming a length-p column of the p x p Gram matrix
+(8 bytes/entry read + 8 bytes write of the residual), i.e.
+>= 16 * p^2 * q bytes of memory traffic per CAVI iteration on a single
+core.  At an optimistic 20 GB/s sustained DRAM bandwidth that bounds the
+reference at 16*p^2*q/20e9 seconds/iteration (~5.6 hours at this config;
+the O(n p^2) Gram precompute and the 20 GB p x p allocation are ignored
+in the model, favoring the reference).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from atlasqtl_tpu.types import Config
+    from atlasqtl_tpu.models import global_local as gl
+    from atlasqtl_tpu.inference import elicitation as elic
+    from atlasqtl_tpu.ops.sweep import block_gram
+
+    n = int(os.environ.get("BENCH_N", 1000))
+    p = int(os.environ.get("BENCH_P", 50_000))
+    q = int(os.environ.get("BENCH_Q", 10_000))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, p)).astype(np.float32)
+    x = (x - x.mean(0)) / x.std(0, ddof=1)
+    y = rng.normal(size=(n, q)).astype(np.float32)
+    y[:, :200] += x[:, :50] @ (
+        rng.normal(1.0, 0.5, (50, 200)).astype(np.float32) * 0.3)
+    y -= y.mean(0)
+
+    cfg = Config(dtype=jnp.float32, block_size=128, shr_fac_inv=float(q))
+    data = gl.build_data(x, y, cfg)
+    state = gl.auto_init_device(0, data, (5.0, 25.0), float(q), cfg)
+    hyper = gl.build_hyper(elic.auto_set_hyper(y[:, :256], p, (5, 25)),
+                           data.y.shape[1], cfg)
+    gram = jax.jit(block_gram, static_argnums=1)(data.x, cfg.block_size)
+
+    # warm-up / compile
+    state = gl.cavi_iteration_donated(data, hyper, state, gram, 1.0, 1.0,
+                                      cfg=cfg, annealed=False)
+    _ = float(jnp.sum(state.theta))  # forced readback: axon's
+    # block_until_ready can return before execution completes
+
+    t0 = time.time()
+    for _ in range(iters):
+        state = gl.cavi_iteration_donated(data, hyper, state, gram, 1.0, 1.0,
+                                          cfg=cfg, annealed=False)
+    _ = float(jnp.sum(state.theta))
+    dt = time.time() - t0
+    iters_per_s = iters / dt
+
+    lb = float(gl.compute_elbo(data, hyper, state, cfg=cfg))
+    assert np.isfinite(lb), "ELBO not finite in bench run"
+
+    # reference model: bandwidth-optimistic single-core Gram-space sweep
+    ref_seconds_per_iter = 16.0 * p * p * q / 20e9
+    vs_baseline = iters_per_s * ref_seconds_per_iter
+
+    print(json.dumps({
+        "metric": f"cavi_iters_per_s_n{n}_p{p}_q{q}",
+        "value": round(iters_per_s, 4),
+        "unit": "iterations/s",
+        "vs_baseline": round(vs_baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Sharding equivalence: the q-sharded 8-device mesh run must match the
+single-device run (same math, collectives inserted by GSPMD)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from atlasqtl_tpu.types import Config
+from atlasqtl_tpu.models import global_local as gl
+from atlasqtl_tpu.inference import elicitation as elic
+from atlasqtl_tpu.io.prepare import prepare_data
+from atlasqtl_tpu.ops.sweep import block_gram
+from atlasqtl_tpu.parallel import mesh as pmesh
+
+from conftest import simulate_fixture
+
+
+@pytest.fixture(scope="module")
+def setup():
+    y, x, _ = simulate_fixture(n=80, p=48, p_act=6, q=32, seed=3)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg = Config(dtype=jnp.float64, block_size=16, shr_fac_inv=float(q_eff))
+    mesh = pmesh.make_mesh()
+    data = gl.build_data(dat.x, dat.y, cfg,
+                         q_pad_to=pmesh.q_pad_multiple(mesh))
+    hyper_spec = elic.auto_set_hyper(dat.y, p_eff, (3, 10))
+    hyper = gl.build_hyper(hyper_spec, data.y.shape[1], cfg)
+    init = elic.auto_set_init(dat.y, p_eff, (3, 10), float(q_eff), 42)
+    state = gl.build_state(init, data, cfg)
+    gram = block_gram(data.x, cfg.block_size)
+    return cfg, data, hyper, state, gram, mesh, p_eff, q_eff
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_iterations_match_single_device(setup):
+    cfg, data, hyper, state, gram, mesh, p, q = setup
+
+    # single-device reference trajectory
+    s_ref = state
+    for _ in range(3):
+        s_ref = gl.cavi_iteration(data, hyper, s_ref, gram, 1.0, 1.0,
+                                  cfg=cfg, annealed=False)
+    lb_ref = float(gl.compute_elbo(data, hyper, s_ref, cfg=cfg))
+
+    # sharded trajectory
+    data_s = pmesh.shard_data(data, mesh)
+    hyper_s = pmesh.shard_hyper(hyper, mesh)
+    s_shard = pmesh.shard_state(state, mesh)
+    for _ in range(3):
+        s_shard = gl.cavi_iteration(data_s, hyper_s, s_shard, gram, 1.0, 1.0,
+                                    cfg=cfg, annealed=False)
+    lb_shard = float(gl.compute_elbo(data_s, hyper_s, s_shard, cfg=cfg))
+
+    np.testing.assert_allclose(np.asarray(s_shard.gam)[:p, :q],
+                               np.asarray(s_ref.gam)[:p, :q],
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_shard.theta)[:p],
+                               np.asarray(s_ref.theta)[:p],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(lb_shard, lb_ref, rtol=1e-10)
+
+
+def test_sharded_layout_is_q_partitioned(setup):
+    cfg, data, hyper, state, gram, mesh, p, q = setup
+    data_s = pmesh.shard_data(data, mesh)
+    s = pmesh.shard_state(state, mesh)
+    # gam sharded over q across 8 devices
+    shard_shapes = {sh.data.shape for sh in s.gam.addressable_shards}
+    assert shard_shapes == {(s.gam.shape[0], s.gam.shape[1] // 8)}
+    # after one iteration the output preserves the q-sharding
+    s2 = gl.cavi_iteration(data_s, hyper, s, gram, 1.0, 1.0, cfg=cfg,
+                           annealed=False)
+    shard_shapes2 = {sh.data.shape for sh in s2.gam.addressable_shards}
+    assert shard_shapes2 == shard_shapes
+
+
+def test_sharded_e2e_api(setup):
+    import atlasqtl_tpu as aq
+    y, x, p_act = simulate_fixture(n=80, p=48, p_act=6, q=32, seed=3)
+    mesh = pmesh.make_mesh()
+    res = aq.atlasqtl(y, x, p0=(3, 10), dtype=jnp.float64, verbose=0,
+                      user_seed=42, mesh=mesh)
+    assert res.converged
+    hot = res.hotspot_sizes()
+    assert (hot[:p_act] > 0).any()
