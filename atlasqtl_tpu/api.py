@@ -35,7 +35,8 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
              checkpoint_path=None, trace_path=None,
              add_collinear_back_: bool = False,
              dtype=None, block_size: int = 128,
-             batch: str = "y", mesh=None) -> AtlasQTLResult:
+             batch: str = "y", mesh=None,
+             model: str = "global_local") -> AtlasQTLResult:
     """Fit the global-local hotspot model (reference: atlasqtl, R/atlasqtl.R).
 
     Extra TPU-native knobs: `dtype` (jnp.float32 default; jnp.float64 for
@@ -119,9 +120,13 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
         from .io.trace import HotspotTrace
         tracer = HotspotTrace(trace_path, shr_fac_inv, p)
 
+    if model == "global" and trace_path is not None:
+        log.warning("Provided argument trace_path not used with the "
+                    "global-scale-only model.")
+        tracer = None
     res = fit_global_local(data, hyper, state, cfg, anneal=anneal,
                            verbose=verbose, checkpointer=checkpointer,
-                           tracer=tracer)
+                           tracer=tracer, model=model)
     if checkpointer is not None and res.converged:
         # reference cleans up unconditionally (R/utils.R:614-627); we keep the
         # last snapshots on non-convergence so runs can be resumed

@@ -44,12 +44,22 @@ class ElboDecreaseError(RuntimeError):
 
 def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
                      anneal=None, verbose: int = 1,
-                     checkpointer=None, tracer=None) -> FitResult:
+                     checkpointer=None, tracer=None,
+                     model: str = "global_local") -> FitResult:
     """Run annealed CAVI to convergence.
 
     checkpointer: optional callable(it, state, converged, lb_new, lb_old)
     tracer:       optional callable(it, state)
+    model: "global_local" (horseshoe, the product path) or "global"
+           (global-scale-only variant, R/atlasqtl_global_core.R)
     """
+    if model == "global_local":
+        mod = gl
+    elif model == "global":
+        from ..models import global_only as mod_go
+        mod = mod_go
+    else:
+        raise ValueError(f"unknown model {model!r}")
     if data.mis_pat is None:
         p_pad = data.x.shape[1]
         block = min(cfg.block_size, p_pad)
@@ -83,7 +93,7 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
         for c in ladder[:-1]:  # the final rung c = 1 exits annealing mode
             it += 1
             c_s = c if cfg.anneal_scale else 1.0
-            state = gl.cavi_iteration_donated(data, hyper, state, gram_blocks,
+            state = mod.cavi_iteration_donated(data, hyper, state, gram_blocks,
                                       c, c_s, cfg=cfg, annealed=True)
             if verbose and (it == 1 or it % 5 == 0):
                 log.info("Iteration %d (temperature %.4g)", it, 1.0 / c)
@@ -99,7 +109,7 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
     while not converged and it < cfg.maxit:
         lb_old = lb_new
         it += 1
-        state = gl.cavi_iteration_donated(data, hyper, state, gram_blocks,
+        state = mod.cavi_iteration_donated(data, hyper, state, gram_blocks,
                                   1.0, 1.0, cfg=cfg, annealed=False)
 
         if tracer is not None and (it == 1 or it % 25 == 0):
@@ -107,7 +117,7 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
 
         if (it <= it_init + 1 or it % batch_conv == 0
                 or it % batch_conv == 1):
-            lb_new = float(gl.compute_elbo(data, hyper, state, cfg=cfg))
+            lb_new = float(mod.compute_elbo(data, hyper, state, cfg=cfg))
             elbo_history.append((it, lb_new))
             if verbose and (it == it_init or it % max(5, batch_conv) == 0):
                 log.info("Iteration %d: ELBO = %.6f", it, lb_new)

@@ -298,9 +298,15 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                          zeta=state.zeta, c=c)
     if data.mis_pat is None:
         block = gram_blocks.shape[1]
-        gam_new, mu_new, fitted = sweep_complete(
-            data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
-            state.fitted, consts, block)
+        if cfg.use_pallas:
+            from ..ops.sweep_pallas import sweep_complete_pallas
+            gam_new, mu_new, fitted = sweep_complete_pallas(
+                data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                state.fitted, consts, block)
+        else:
+            gam_new, mu_new, fitted = sweep_complete(
+                data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                state.fitted, consts, block)
     else:
         gam_new, mu_new, fitted = sweep_missing(
             data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, state.gam,

@@ -109,3 +109,26 @@ def test_checkpoint_and_trace(tmp_path, fixture_small):
     res2 = aq.atlasqtl(y, x, p0=(5, 25), anneal=None, list_init=init,
                        dtype=jnp.float64, verbose=0, maxit=500)
     assert res2.converged
+
+
+def test_global_only_model(fixture_small):
+    """Global-scale-only variant (reference: atlasqtl_global_core_) converges
+    with a monotone ELBO and recovers the hotspots."""
+    y, x, p_act = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123, model="global")
+    assert res.converged
+    assert _monotone(res.elbo_history)
+    hot = res.hotspot_sizes()
+    assert (hot[:p_act] > 10).all()
+    # without local scales the variant is slightly less selective than the
+    # horseshoe: allow isolated borderline calls, no spurious hotspots
+    assert hot[p_act:].max() <= 2
+
+
+def test_global_only_no_annealing(fixture_small):
+    y, x, _ = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), anneal=None, dtype=jnp.float64,
+                      verbose=0, user_seed=2, model="global")
+    assert res.converged
+    assert _monotone(res.elbo_history)

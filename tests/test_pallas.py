@@ -1,0 +1,71 @@
+"""The Pallas inner-sweep kernel must match the XLA lax-loop sweep
+(interpret mode on CPU; the same kernel compiles via Mosaic on TPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from atlasqtl_tpu.types import Config
+from atlasqtl_tpu.models import global_local as gl
+from atlasqtl_tpu.inference import elicitation as elic
+from atlasqtl_tpu.io.prepare import prepare_data
+from atlasqtl_tpu.ops.sweep import block_gram, SweepConsts, _inner_gs
+from atlasqtl_tpu.ops.sweep_pallas import inner_gs_pallas
+
+from conftest import simulate_fixture
+
+
+def test_inner_kernel_matches_lax_loop():
+    rng = np.random.default_rng(1)
+    B, q = 128, 512
+    f32 = jnp.float32
+    r0 = jnp.asarray(rng.normal(size=(B, q)), f32)
+    g = jnp.asarray(rng.normal(size=(B, B)), f32)
+    g = g @ g.T / B
+    cp = jnp.asarray(rng.normal(size=(B, q)), f32)
+    gam = jnp.asarray(rng.uniform(.1, .9, (B, q)), f32)
+    mu = jnp.asarray(rng.normal(size=(B, q)), f32)
+    logp = jnp.asarray(np.log(rng.uniform(.1, .9, (B, q))), f32)
+    log1p_ = jnp.asarray(np.log(rng.uniform(.1, .9, (B, q))), f32)
+    s2 = jnp.asarray(rng.uniform(.01, .1, q), f32)
+    tau = jnp.asarray(rng.uniform(.5, 2, q), f32)
+    logtau = jnp.asarray(rng.normal(size=q), f32)
+    consts = SweepConsts(sig2_beta=s2, tau=tau, log_tau=logtau,
+                         log_sig2_inv=jnp.asarray(0.3, f32), theta=None,
+                         zeta=None, c=jnp.asarray(1.0, f32))
+    for q_tile in (512, 256, 128):
+        go, mo, do = inner_gs_pallas(r0, g, cp, gam, mu, logp, log1p_, s2,
+                                     tau, logtau, 1.0, 0.3, q_tile=q_tile)
+        g1, m1, d1 = _inner_gs(r0, g, cp, gam, mu, logp, log1p_, consts)
+        np.testing.assert_allclose(np.asarray(go), np.asarray(g1), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(mo), np.asarray(m1), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(do), np.asarray(d1), atol=2e-5)
+
+
+def test_full_iteration_pallas_matches_xla():
+    y, x, _ = simulate_fixture(n=120, p=256, p_act=8, q=48, seed=2)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg_x = Config(dtype=jnp.float32, block_size=128, shr_fac_inv=float(q_eff),
+                   use_pallas=False)
+    cfg_p = Config(dtype=jnp.float32, block_size=128, shr_fac_inv=float(q_eff),
+                   use_pallas=True)
+    data = gl.build_data(dat.x, dat.y, cfg_x, q_pad_to=128)
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p_eff, (4, 16)),
+                           data.y.shape[1], cfg_x)
+    init = elic.auto_set_init(dat.y, p_eff, (4, 16), float(q_eff), 7)
+    state0 = gl.build_state(init, data, cfg_x)
+    gram = block_gram(data.x, 128)
+
+    s_x = s_p = state0
+    for _ in range(3):
+        s_x = gl.cavi_iteration(data, hyper, s_x, gram, 1.0, 1.0,
+                                cfg=cfg_x, annealed=False)
+        s_p = gl.cavi_iteration(data, hyper, s_p, gram, 1.0, 1.0,
+                                cfg=cfg_p, annealed=False)
+    np.testing.assert_allclose(np.asarray(s_p.gam), np.asarray(s_x.gam),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s_p.theta), np.asarray(s_x.theta),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s_p.fitted), np.asarray(s_x.fitted),
+                               atol=5e-3)
