@@ -42,6 +42,54 @@ def standardize_columns(x):
         return (x - mean) / sd
 
 
+def standardize_and_flag(x, use_native=None):
+    """Standardize columns and flag constants/duplicates in one pass.
+
+    Returns (x_standardized, bool_cst (p,), bool_dup (p,), twin (p,)).
+    Uses the native C++ module (atlasqtl_tpu/native) when available and the
+    matrix is large; constant columns come back zero-filled there and
+    NaN-filled from the NumPy path — both are removed by the caller.
+    bool_dup/twin are computed among non-constant columns only.
+    """
+    from .. import native
+
+    p = x.shape[1]
+    if use_native is None:
+        use_native = x.size >= (1 << 20) and native.get_lib() is not None
+    if use_native and native.get_lib() is not None:
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        bool_cst, hashes = native.standardize_and_hash(x)
+        bool_dup = np.zeros(p, dtype=bool)
+        twin = np.full(p, -1, dtype=np.int64)
+        groups: dict = {}
+        for j in range(p):
+            if bool_cst[j]:
+                continue
+            h = int(hashes[j])
+            if h in groups:
+                for i in groups[h]:
+                    if native.columns_equal(x, i, j):
+                        bool_dup[j] = True
+                        twin[j] = i
+                        break
+                else:
+                    groups[h].append(j)
+            else:
+                groups[h] = [j]
+        return x, bool_cst, bool_dup, twin
+
+    x = standardize_columns(x)
+    bool_cst = np.isnan(x.sum(axis=0))
+    x_nc = x[:, ~bool_cst]
+    dup_nc, twin_nc = find_duplicate_columns(x_nc)
+    bool_dup = np.zeros(p, dtype=bool)
+    twin = np.full(p, -1, dtype=np.int64)
+    nc_idx = np.where(~bool_cst)[0]
+    bool_dup[nc_idx] = dup_nc
+    twin[nc_idx[dup_nc]] = nc_idx[twin_nc[dup_nc]]
+    return x, bool_cst, bool_dup, twin
+
+
 def find_duplicate_columns(x):
     """Exact duplicate columns, R `duplicated(mat, MARGIN = 2)` semantics:
     a column is flagged if an identical column appeared earlier.
@@ -112,22 +160,21 @@ def prepare_data(y, x, tol, maxit, user_seed=None, verbose=1,
     names_x = list(names_x) if names_x is not None else [f"Cov_x_{j+1}" for j in range(p)]
     names_y = list(names_y) if names_y is not None else [f"Resp_{k+1}" for k in range(q)]
 
-    x = standardize_columns(x)
-
-    # remove constant columns (NaN after scaling; reference: rm_constant_)
-    bool_cst = np.isnan(x.sum(axis=0))
+    # standardize + constant-column + duplicate-column detection in one pass
+    # (native C++ fast path for large X; reference: scale/rm_constant_/
+    # rm_collinear_)
+    x, bool_cst, bool_dup, twin = standardize_and_flag(x)
     rmvd_cst = [names_x[j] for j in np.where(bool_cst)[0]]
     keep = ~bool_cst
-    x = x[:, keep]
     kept_names = [names_x[j] for j in np.where(keep)[0]]
     initial_colnames_x = list(kept_names)
 
-    # remove exactly-duplicated (collinear) columns (reference: rm_collinear_)
-    bool_coll, twin = find_duplicate_columns(x)
-    rmvd_coll = {kept_names[j]: kept_names[twin[j]]
-                 for j in np.where(bool_coll)[0]}
-    x = x[:, ~bool_coll]
-    final_names = [kept_names[j] for j in np.where(~bool_coll)[0]]
+    rmvd_coll = {names_x[j]: names_x[twin[j]]
+                 for j in np.where(bool_dup)[0]}
+    keep_final = keep & ~bool_dup
+    bool_coll = bool_dup[keep]
+    x = x[:, keep_final]
+    final_names = [names_x[j] for j in np.where(keep_final)[0]]
 
     bool_rmvd = bool_cst.copy()
     bool_rmvd[~bool_cst] = bool_coll
