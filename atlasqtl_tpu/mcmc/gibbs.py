@@ -140,9 +140,15 @@ def _beta_gam_sweep(state: GibbsState, data: Data, gram_blocks, consts,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def gibbs_sweep(state: GibbsState, data: Data, hyper: Hyper, gram_blocks, *,
-                cfg: Config) -> GibbsState:
-    """One full Gibbs scan over all blocks of conditionals."""
+                cfg: Config, temper=1.0) -> GibbsState:
+    """One full Gibbs scan over all blocks of conditionals.
+
+    `temper` raises the LIKELIHOOD to the given power (SMC tempering);
+    the conjugate conditionals absorb it exactly: the slab posterior
+    precision becomes temper*tau*(n-1) + tau*sig2_inv and the tau/residual
+    shape/rate terms scale by temper.  temper=1 is the plain sampler."""
     dt = cfg.dtype
+    temper = jnp.asarray(temper, dt)
     shr = jnp.asarray(cfg.shr_fac_inv, dt)
     n = data.n
     p_true = data.p_true
@@ -151,12 +157,13 @@ def gibbs_sweep(state: GibbsState, data: Data, hyper: Hyper, gram_blocks, *,
     keys = jax.random.split(key, 12)
 
     # ---- (beta, gam) | rest -------------------------------------------
-    # slab variance s2_t = 1 / (tau_t (n - 1 + sig2_inv)) — same expression
-    # as the CAVI sig2_beta (complete-data; X standardized)
-    s2 = 1.0 / (state.tau * (n - 1.0 + state.sig2_inv))
+    # slab variance s2_t = 1 / (tau_t (temper (n - 1) + sig2_inv)) — same
+    # expression as the CAVI sig2_beta at temper=1 (complete-data;
+    # X standardized)
+    s2 = 1.0 / (state.tau * (temper * (n - 1.0) + state.sig2_inv))
     log_s2_sig_tau = 0.5 * (jnp.log(s2) + jnp.log(state.sig2_inv)
                             + jnp.log(state.tau))
-    consts = (s2, state.tau, log_s2_sig_tau, keys[0])
+    consts = (s2, temper * state.tau, log_s2_sig_tau, keys[0])
     gam, beta, fitted = _beta_gam_sweep(state, data, gram_blocks, consts, cfg)
 
     # ---- Z | gam, theta, zeta (Albert-Chib truncated normals) ----------
@@ -166,10 +173,7 @@ def gibbs_sweep(state: GibbsState, data: Data, hyper: Hyper, gram_blocks, *,
     uz = jax.random.uniform(keys[1], gam.shape, dt,
                             minval=1e-7, maxval=1.0 - 1e-7)
     # inverse-CDF truncated normal: gam=1 -> Z > 0, gam=0 -> Z < 0
-    phi_neg = jnp.exp(log_p)          # P(N(u,1) <= 0) is Phi(-u) -> careful:
-    # P(Z <= 0) for Z ~ N(u, 1) is Phi(-u) = exp(log_1p(u))? No:
-    # Phi(-u) where log_ndtr_both returns (log Phi(u), log Phi(-u)).
-    p_le0 = jnp.exp(log_1p)           # P(Z <= 0) = Phi(-u)
+    p_le0 = jnp.exp(log_1p)           # P(Z <= 0) for Z ~ N(u, 1) is Phi(-u)
     # gam=1: sample v ~ U(P(Z<=0), 1);  gam=0: v ~ U(0, P(Z<=0))
     v = jnp.where(gam > 0.5, p_le0 + uz * (1.0 - p_le0), uz * p_le0)
     v = jnp.clip(v, 1e-7, 1.0 - 1e-7)
@@ -197,8 +201,10 @@ def gibbs_sweep(state: GibbsState, data: Data, hyper: Hyper, gram_blocks, *,
     resid2 = (data.y_norm_sq - 2.0 * jnp.einsum("nq,nq->q", data.y, fitted)
               + jnp.einsum("nq,nq->q", fitted, fitted))
     beta2_colsum = jnp.einsum("pq,pq->q", beta, beta)
-    shape_tau = hyper.eta + 0.5 * data.n_eff + 0.5 * jnp.sum(gam, axis=0)
-    rate_tau = hyper.kappa + 0.5 * (resid2 + state.sig2_inv * beta2_colsum)
+    shape_tau = (hyper.eta + 0.5 * temper * data.n_eff
+                 + 0.5 * jnp.sum(gam, axis=0))
+    rate_tau = hyper.kappa + 0.5 * (temper * resid2
+                                    + state.sig2_inv * beta2_colsum)
     tau = _sample_gamma(keys[4], shape_tau, rate_tau, shape_tau.shape)
 
     # ---- sig2_inv | rest ----------------------------------------------

@@ -65,3 +65,27 @@ def test_gibbs_beta_recovery():
     xa = dat.x[:, :p_act]
     ols = np.linalg.lstsq(xa, dat.y, rcond=None)[0]
     np.testing.assert_allclose(beta_mean[:p_act, :q_eff], ols, atol=0.15)
+
+
+@pytest.mark.slow
+def test_smc_matches_cavi_on_fixture():
+    from atlasqtl_tpu.mcmc.smc import run_smc
+    y, x, p_act = simulate_fixture(n=150, p=24, p_act=5, q=8, seed=11)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg = Config(dtype=jnp.float64, block_size=8, shr_fac_inv=float(q_eff))
+    data = gl.build_data(dat.x, dat.y, cfg)
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p_eff, (3, 9)),
+                           data.y.shape[1], cfg)
+    pip, beta_mean, theta_mean, zeta_mean, log_ev = run_smc(
+        data, hyper, cfg, n_particles=16, n_mutations=2, n_final=150, seed=5)
+    pip = pip[:p_eff, :q_eff]
+    assert np.isfinite(log_ev)
+    assert (pip[:p_act] > 0.5).all()
+    assert (pip[:p_act] > 0.9).mean() > 0.8
+    assert pip[p_act:].mean() < 0.1
+
+    import atlasqtl_tpu as aq
+    res = aq.atlasqtl(y, x, p0=(3, 9), dtype=jnp.float64, verbose=0,
+                      user_seed=6)
+    assert np.abs(pip - res.gam_vb).mean() < 0.05
