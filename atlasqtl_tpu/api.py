@@ -36,7 +36,8 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
              add_collinear_back_: bool = False,
              dtype=None, block_size: int = 128,
              batch: str = "y", mesh=None,
-             model: str = "global_local") -> AtlasQTLResult:
+             model: str = "global_local", df: int = 1,
+             anneal_replicas: int = 1) -> AtlasQTLResult:
     """Fit the global-local hotspot model (reference: atlasqtl, R/atlasqtl.R).
 
     Extra TPU-native knobs: `dtype` (jnp.float32 default; jnp.float64 for
@@ -96,8 +97,10 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
 
     if dtype is None:
         dtype = jnp.float32
+    if df < 1 or df % 2 == 0:
+        raise ValueError("df must be an odd natural number (1, 3, 5, ...)")
     cfg = Config(block_size=(1 if batch == "0" else block_size), dtype=dtype,
-                 tol=float(tol), maxit=int(maxit), df=1,
+                 tol=float(tol), maxit=int(maxit), df=int(df),
                  shr_fac_inv=shr_fac_inv,
                  thinned_elbo_eval=thinned_elbo_eval, debug=True)
 
@@ -124,9 +127,22 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
         log.warning("Provided argument trace_path not used with the "
                     "global-scale-only model.")
         tracer = None
+    replica_states = None
+    if anneal_replicas > 1:
+        if anneal is None:
+            raise ValueError("anneal_replicas requires an annealing schedule")
+        seeds = [user_seed + 1 + r if user_seed is not None else r + 1
+                 for r in range(anneal_replicas - 1)]
+        extra = [gl.build_state(
+            elic.auto_set_init(dat.y, p, p0, shr_fac_inv, s_), data, cfg)
+            for s_ in seeds]
+        if mesh is not None:
+            extra = [shard_state(st, mesh) for st in extra]
+        replica_states = [state] + extra
     res = fit_global_local(data, hyper, state, cfg, anneal=anneal,
                            verbose=verbose, checkpointer=checkpointer,
-                           tracer=tracer, model=model)
+                           tracer=tracer, model=model,
+                           replica_states=replica_states)
     if checkpointer is not None and res.converged:
         # reference cleans up unconditionally (R/utils.R:614-627); we keep the
         # last snapshots on non-convergence so runs can be resumed
@@ -136,6 +152,7 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
     gam_vb = np.asarray(st.gam, np.float64)[:p, :q]
     beta_vb = np.asarray(st.gam * st.mu_beta, np.float64)[:p, :q]
     theta_vb = np.asarray(st.theta, np.float64)[:p]
+    x_beta_vb = np.asarray(st.fitted, np.float64)[:, :q]
     zeta_vb = np.asarray(st.zeta, np.float64)[:q]
     lam2_inv_vb = np.asarray(st.lam2_inv, np.float64)[:p]
 
@@ -156,6 +173,7 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
         names_x=names_x, names_y=dat.names_y,
         elbo_history=res.elbo_history,
         lam2_inv_vb=lam2_inv_vb,
+        x_beta_vb=x_beta_vb,
         sig02_inv_vb=float(st.sig02_inv),
         list_hyper=hyper_spec if save_hyper else None,
         list_init=init_spec if save_init else None,

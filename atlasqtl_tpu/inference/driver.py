@@ -45,13 +45,18 @@ class ElboDecreaseError(RuntimeError):
 def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
                      anneal=None, verbose: int = 1,
                      checkpointer=None, tracer=None,
-                     model: str = "global_local") -> FitResult:
+                     model: str = "global_local",
+                     replica_states=None) -> FitResult:
     """Run annealed CAVI to convergence.
 
     checkpointer: optional callable(it, state, converged, lb_new, lb_old)
     tracer:       optional callable(it, state)
     model: "global_local" (horseshoe, the product path) or "global"
            (global-scale-only variant, R/atlasqtl_global_core.R)
+    replica_states: optional list of initial states — each is annealed
+           independently (the TPU-native "annealing replica" axis) and the
+           replica with the best post-annealing ELBO continues to
+           convergence.
     """
     if model == "global_local":
         mod = gl
@@ -90,15 +95,35 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
         if verbose:
             log.info("** Annealing with %s spacing **",
                      {1: "geometric", 2: "harmonic", 3: "linear"}[int(anneal[0])])
-        for c in ladder[:-1]:  # the final rung c = 1 exits annealing mode
-            it += 1
-            c_s = c if cfg.anneal_scale else 1.0
-            state = mod.cavi_iteration_donated(data, hyper, state, gram_blocks,
-                                      c, c_s, cfg=cfg, annealed=True)
-            if verbose and (it == 1 or it % 5 == 0):
-                log.info("Iteration %d (temperature %.4g)", it, 1.0 / c)
-            if tracer is not None and (it == 1 or it % 25 == 0):
-                tracer(it, state)
+
+        def anneal_one(st, trace_hook):
+            it_local = 0
+            for c in ladder[:-1]:  # the final rung c = 1 exits annealing mode
+                it_local += 1
+                c_s = c if cfg.anneal_scale else 1.0
+                st = mod.cavi_iteration_donated(data, hyper, st, gram_blocks,
+                                                c, c_s, cfg=cfg, annealed=True)
+                if verbose and (it_local == 1 or it_local % 5 == 0):
+                    log.info("Iteration %d (temperature %.4g)", it_local,
+                             1.0 / c)
+                if trace_hook is not None and (it_local == 1
+                                               or it_local % 25 == 0):
+                    trace_hook(it_local, st)
+            return st, it_local
+
+        if replica_states is not None:
+            # anneal each replica independently, keep the best-ELBO one
+            best_state, best_lb = None, -math.inf
+            for r, st in enumerate(replica_states):
+                st, it = anneal_one(st, tracer if r == 0 else None)
+                lb_r = float(mod.compute_elbo(data, hyper, st, cfg=cfg))
+                if verbose:
+                    log.info("Annealing replica %d: ELBO = %.6f", r, lb_r)
+                if lb_r > best_lb:
+                    best_state, best_lb = st, lb_r
+            state = best_state
+        else:
+            state, it = anneal_one(state, tracer)
         if verbose:
             log.info("** Exiting annealing mode. **")
     else:

@@ -50,6 +50,8 @@ class AtlasQTLResult:
     names_y: list
     elbo_history: list
     lam2_inv_vb: Optional[np.ndarray] = None
+    x_beta_vb: Optional[np.ndarray] = None  # n x q fitted X beta (the output
+    # the reference documents but never returns, R/atlasqtl.R:89-91)
     sig02_inv_vb: Optional[float] = None
     list_hyper: Optional[object] = None
     list_init: Optional[object] = None

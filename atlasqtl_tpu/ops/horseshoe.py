@@ -67,7 +67,7 @@ def lam2_inv_annealed(l_vb, c_s, df: int = 1):
     return num / den / df
 
 
-_GL_NODES = 200
+_GL_NODES = 100
 
 
 def _laguerre_nodes(n=_GL_NODES):
@@ -76,17 +76,13 @@ def _laguerre_nodes(n=_GL_NODES):
     return jnp.asarray(x), jnp.asarray(np.log(w))
 
 
-def log_integral_hs(alpha, beta, m, n):
-    """log of int_0^inf x^n (1 + alpha x)^{-m} e^{-beta x} dx, batched over
-    beta (reference closed forms: R/utils.R:425-568).
-
-    Substituting u = beta x reduces to a Gauss-Laguerre sum; all terms are
-    kept in log-space and combined with logsumexp for stability.
-    """
+def _log_integral_laguerre(alpha, beta, m, n):
+    """Gauss-Laguerre evaluation after u = beta x (accurate when
+    z = beta/alpha >~ 1: the (1+alpha x)^{-m} transition is then inside the
+    node range)."""
     nodes, log_w = _laguerre_nodes()
     beta = jnp.asarray(beta)
     u = nodes  # (G,)
-    # integrand at x = u / beta: (u/beta)^n (1 + alpha u / beta)^{-m} e^{-u} * (1/beta)
     log_terms = (
         log_w[None, :]
         + n * (jnp.log(u)[None, :] - jnp.log(beta)[..., None])
@@ -94,3 +90,38 @@ def log_integral_hs(alpha, beta, m, n):
         - jnp.log(beta)[..., None]
     )
     return logsumexp(log_terms, axis=-1)
+
+
+def _log_integral_expint(alpha, beta, m, n):
+    """Exact closed form via y = 1 + alpha x:
+
+      I = alpha^{-n-1} e^{z} sum_k C(n,k) (-1)^{n-k} E_{m-k}(z),  z = beta/alpha
+
+    with the generalized exponential integrals E_j(z) = int_1^inf y^{-j}
+    e^{-zy} dy built by the upward recurrence from E_0 = e^{-z}/z and
+    E_1(z) = Q(z) e^{-z}.  Numerically dominant (no catastrophic
+    cancellation) for z <~ 1, complementing the Laguerre branch."""
+    from math import comb, log as mlog
+
+    z = jnp.asarray(beta) / alpha
+    e_neg = jnp.exp(-z)
+    ej = [e_neg / z, q_approx(z) * e_neg]
+    for j in range(1, m):
+        ej.append((e_neg - z * ej[j]) / j)
+    s = jnp.zeros_like(z)
+    for k in range(n + 1):
+        s = s + ((-1) ** (n - k)) * comb(n, k) * ej[m - k]
+    s = jnp.maximum(s, jnp.finfo(z.dtype).tiny)
+    return -(n + 1) * jnp.log(jnp.asarray(alpha, z.dtype)) + z + jnp.log(s)
+
+
+def log_integral_hs(alpha, beta, m, n):
+    """log of int_0^inf x^n (1 + alpha x)^{-m} e^{-beta x} dx, batched over
+    beta (numerically-equivalent replacement for the reference closed forms,
+    R/utils.R:425-568).  m, n are static Python ints with m in {n, n+1}."""
+    m, n = int(m), int(n)
+    beta = jnp.asarray(beta)
+    z = beta / alpha
+    lo = _log_integral_expint(alpha, jnp.maximum(beta, 1e-300), m, n)
+    hi = _log_integral_laguerre(alpha, jnp.maximum(beta, 1e-300), m, n)
+    return jnp.where(z < 1.0, lo, hi)

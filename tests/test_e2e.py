@@ -132,3 +132,35 @@ def test_global_only_no_annealing(fixture_small):
                       verbose=0, user_seed=2, model="global")
     assert res.converged
     assert _monotone(res.elbo_history)
+
+
+def test_df3_horseshoe(fixture_small):
+    """Heavier-tailed local prior (df=3) — the reference core supports df as
+    a parameter though its entry point pins df=1."""
+    y, x, p_act = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), anneal=None, dtype=jnp.float64,
+                      verbose=0, user_seed=123, df=3)
+    assert res.converged
+    assert _monotone(res.elbo_history)
+    hot = res.hotspot_sizes()
+    assert (hot[:p_act] > 10).all()
+
+
+def test_anneal_replicas(fixture_small):
+    y, x, p_act = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123, anneal_replicas=3)
+    assert res.converged
+    assert _monotone(res.elbo_history)
+    assert (res.hotspot_sizes()[:p_act] > 10).all()
+
+
+def test_x_beta_vb_output(fixture_small):
+    y, x, _ = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123)
+    assert res.x_beta_vb.shape == (x.shape[0], y.shape[1])
+    # fitted values should correlate strongly with centered y on signal cols
+    yc = y - y.mean(0)
+    corr = np.corrcoef(res.x_beta_vb[:, 0], yc[:, 0])[0, 1]
+    assert corr > 0.8

@@ -1,0 +1,63 @@
+"""Horseshoe local-scale updates vs direct numerical integration.
+
+The optimal CAVI factor for the local scale lambda_s under a half-t(df) prior
+is q(lam) propto (1 + lam^2/df)^{-(df+1)/2} lam^{-1} exp(-b / lam^2) with
+b = E[theta^2 prec]/2; the update returns E_q[lambda^{-2}].  The closed forms
+(df=1 via Q(x) = e^x E1(x), df=3, general odd df via the hs integrals) must
+match brute-force quadrature.
+"""
+import numpy as np
+import pytest
+from scipy.integrate import quad
+
+import jax.numpy as jnp
+
+from atlasqtl_tpu.ops.horseshoe import (lam2_inv_annealed, lam2_inv_exact,
+                                        log_integral_hs)
+
+
+def _e_lam2_inv_quad(b, df):
+    """E[lambda^{-2}] under q(lam) by adaptive quadrature."""
+    def dens(lam):
+        return ((1.0 + lam * lam / df) ** (-(df + 1) / 2)
+                * np.exp(-b / (lam * lam)) / lam)
+
+    den = quad(lambda l: dens(l), 0, np.inf, limit=200)[0]
+    num = quad(lambda l: dens(l) / (l * l), 0, np.inf, limit=200)[0]
+    return num / den
+
+
+@pytest.mark.parametrize("df", [1, 3, 5, 7])
+def test_exact_update_matches_quadrature(df):
+    b_vals = np.array([0.05, 0.3, 1.0, 4.0, 20.0])
+    l_vb = b_vals / df  # the driver passes L_vb = quad/2/df
+    got, _ = lam2_inv_exact(jnp.asarray(l_vb, jnp.float64), df)
+    want = np.array([_e_lam2_inv_quad(b, df) for b in b_vals])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-5)
+
+
+def test_annealed_df1_matches_quadrature():
+    """Annealed df=1 update: the tempered factor is the c-th power of the
+    untempered one, q_c(u) propto [(1+u)^{-1} e^{-b u}]^c in u = lam^{-2};
+    the reference computes E[u] as Gamma(2-c, cb)/(Gamma(1-c, cb) cb) - 1."""
+    for c in [0.5, 0.7, 0.9]:
+        for b in [0.2, 1.0, 5.0]:
+            l_annealed = c * b  # driver passes c_s * quad / 2 (df = 1)
+
+            def dens(u):
+                return (1.0 + u) ** (-c) * np.exp(-c * b * u)
+
+            den = quad(dens, 0, np.inf, limit=200)[0]
+            num = quad(lambda u: u * dens(u), 0, np.inf, limit=200)[0]
+            got = float(lam2_inv_annealed(jnp.asarray([l_annealed]), c, 1)[0])
+            np.testing.assert_allclose(got, num / den, rtol=1e-5)
+
+
+def test_log_integral_hs_matches_quadrature():
+    for alpha, m, n in [(3.0, 2, 2), (3.0, 2, 1), (5.0, 3, 3), (7.0, 4, 3)]:
+        for beta in [0.5, 2.0, 10.0]:
+            want = quad(lambda x: x ** n * (1 + alpha * x) ** (-m)
+                        * np.exp(-beta * x), 0, np.inf, limit=200)[0]
+            got = float(np.exp(log_integral_hs(
+                alpha, jnp.asarray([beta], jnp.float64), m=m, n=n)[0]))
+            np.testing.assert_allclose(got, want, rtol=1e-6)
