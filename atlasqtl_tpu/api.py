@@ -102,11 +102,17 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
     cfg = Config(block_size=(1 if batch == "0" else block_size), dtype=dtype,
                  tol=float(tol), maxit=int(maxit), df=int(df),
                  shr_fac_inv=shr_fac_inv,
-                 thinned_elbo_eval=thinned_elbo_eval, debug=True)
+                 thinned_elbo_eval=thinned_elbo_eval, debug=True,
+                 q_axis=None if mesh is None else "q")
 
     from .parallel.mesh import (q_pad_multiple, shard_data, shard_hyper,
                                 shard_state)
-    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=q_pad_multiple(mesh))
+    import jax as _jax
+    q_pad_to = q_pad_multiple(mesh)
+    if (mesh is None and dtype == jnp.float32
+            and _jax.devices()[0].platform != "cpu"):
+        q_pad_to = 512  # fused single-kernel sweep wants 512-aligned tiles
+    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=q_pad_to)
     hyper = gl.build_hyper(hyper_spec, data.y.shape[1], cfg)
     state = gl.build_state(init_spec, data, cfg)
     if mesh is not None:
@@ -152,7 +158,7 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
     gam_vb = np.asarray(st.gam, np.float64)[:p, :q]
     beta_vb = np.asarray(st.gam * st.mu_beta, np.float64)[:p, :q]
     theta_vb = np.asarray(st.theta, np.float64)[:p]
-    x_beta_vb = np.asarray(st.fitted, np.float64)[:, :q]
+    x_beta_vb = np.asarray(st.fitted, np.float64)[:n, :q]
     zeta_vb = np.asarray(st.zeta, np.float64)[:q]
     lam2_inv_vb = np.asarray(st.lam2_inv, np.float64)[:p]
 

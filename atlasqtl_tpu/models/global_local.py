@@ -36,19 +36,25 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
     block = min(cfg.block_size, _round_up(p, 8))
     p_pad = _round_up(p, block)
     q_pad = _round_up(q, q_pad_to)
+    # the sample axis is padded to the sublane width with all-zero rows:
+    # they contribute nothing to any sufficient statistic (X and Y rows are
+    # zero), and the scalar n used in the update formulas stays the true n
+    n_pad = _round_up(n, 8)
     dt = cfg.dtype
 
-    x = np.zeros((n, p_pad), dtype=np.float64)
-    x[:, :p] = x_np
-    y = np.zeros((n, q_pad), dtype=np.float64)
-    y[:, :q] = y_np
+    x = np.zeros((n_pad, p_pad), dtype=np.float64)
+    x[:n, :p] = x_np
+    y = np.zeros((n_pad, q_pad), dtype=np.float64)
+    y[:n, :q] = y_np
 
     has_missing = bool(np.isnan(y).any())
     if has_missing:
         mis_pat = (~np.isnan(y)).astype(np.float64)
-        mis_pat[:, q:] = 1.0  # padded responses behave as fully observed
+        mis_pat[:n, q:] = 1.0  # padded responses behave as fully observed
+        mis_pat[n:, :] = 0.0   # padded samples are never observed
         y = np.nan_to_num(y, nan=0.0)
         n_eff = mis_pat[:, :].sum(axis=0)
+        n_eff[q:] = float(n)
     else:
         mis_pat = None
         n_eff = np.full(q_pad, float(n))
@@ -232,6 +238,32 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
     return _draw(ks)
 
 
+def _fused_q_tile(n, q_pad):
+    """Largest response tile such that the resident F tile (n x q_tile f32)
+    stays within ~6 MB of VMEM and divides the padded q."""
+    budget = max(128, int(6e6 / (4 * n)) // 128 * 128)
+    for cand in (1024, 512, 256, 128):
+        if cand <= budget and q_pad % cand == 0:
+            return cand
+    return None
+
+
+def _select_sweep(cfg: Config, data: Data) -> str:
+    """Sweep implementation choice: the fully-fused single-kernel sweep when
+    it applies (f32, real TPU, unsharded, F tile fits VMEM), else the chosen
+    or default path."""
+    impl = cfg.sweep
+    if impl == "auto":
+        on_accel = jax.devices()[0].platform != "cpu"
+        if (cfg.dtype == jnp.float32 and on_accel and cfg.q_axis is None
+                and _fused_q_tile(data.x.shape[0], data.y.shape[1])):
+            return "fused"
+        if cfg.use_pallas or (on_accel and cfg.dtype == jnp.float32):
+            return "pallas"
+        return "xla"
+    return impl
+
+
 # ------------------------------------------------------------ one iteration
 
 def _colsum_stats(data: Data, state: VBState):
@@ -298,26 +330,38 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                          zeta=state.zeta, c=c)
     if data.mis_pat is None:
         block = gram_blocks.shape[1]
-        if cfg.use_pallas:
+        impl = _select_sweep(cfg, data)
+        if impl == "fused":
+            from ..ops.sweep_fused import sweep_complete_fused
+            n = data.x.shape[0]
+            q_tile = _fused_q_tile(n, data.y.shape[1])
+            gam_new, mu_new, fitted, z_row, z_col = sweep_complete_fused(
+                data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                state.fitted, consts, block,
+                p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile)
+        elif impl == "pallas":
             from ..ops.sweep_pallas import sweep_complete_pallas
-            gam_new, mu_new, fitted = sweep_complete_pallas(
+            gam_new, mu_new, fitted, z_row, z_col = sweep_complete_pallas(
                 data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
-                state.fitted, consts, block)
+                state.fitted, consts, block,
+                p_mask=data.p_mask, q_mask=data.q_mask)
         else:
-            gam_new, mu_new, fitted = sweep_complete(
+            gam_new, mu_new, fitted, z_row, z_col = sweep_complete(
                 data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
-                state.fitted, consts, block)
+                state.fitted, consts, block,
+                p_mask=data.p_mask, q_mask=data.q_mask)
+        gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+        mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
     else:
         gam_new, mu_new, fitted = sweep_missing(
             data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, state.gam,
             state.mu_beta, state.fitted, consts)
-    gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
-    mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
-
-    # 7: probit latent moments (:237)
-    z_row, z_col = upd.z_moments(gam_new, state.theta, state.zeta,
-                                 data.p_mask, data.q_mask, c,
-                                 block_size=cfg.block_size)
+        gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+        mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+        # 7: probit latent moments (:237)
+        z_row, z_col = upd.z_moments(gam_new, state.theta, state.zeta,
+                                     data.p_mask, data.q_mask, c,
+                                     block_size=cfg.block_size)
 
     # 8: horseshoe local scales — "keep this order!" (:239-274)
     l_vb = (c_s * state.sig02_inv * shr

@@ -71,19 +71,21 @@ def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
                          zeta=state.zeta, c=c)
     if data.mis_pat is None:
         block = gram_blocks.shape[1]
-        gam_new, mu_new, fitted = sweep_complete(
+        gam_new, mu_new, fitted, z_row, z_col = sweep_complete(
             data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
-            state.fitted, consts, block)
+            state.fitted, consts, block,
+            p_mask=data.p_mask, q_mask=data.q_mask)
+        gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+        mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
     else:
         gam_new, mu_new, fitted = sweep_missing(
             data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, state.gam,
             state.mu_beta, state.fitted, consts)
-    gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
-    mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
-
-    z_row, z_col = upd.z_moments(gam_new, state.theta, state.zeta,
-                                 data.p_mask, data.q_mask, c,
-                                 block_size=cfg.block_size)
+        gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+        mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+        z_row, z_col = upd.z_moments(gam_new, state.theta, state.zeta,
+                                     data.p_mask, data.q_mask, c,
+                                     block_size=cfg.block_size)
 
     # theta/zeta with the PREVIOUS global scale (R/atlasqtl_global_core.R:229-235)
     # (a scalar in the reference — one value for all predictors — broadcast

@@ -103,25 +103,48 @@ def _inner_gs(r0, g_b, cp_b, gam_b, mu_b, log_p_b, log_1p_b, consts,
     return gam_b, mu_b, beta_b - beta0
 
 
+def _z_block_sums(gam_b, theta_b, zeta, pm_b, q_mask, c):
+    """Per-block contribution to the Z-moment reductions, fused into the
+    sweep so the p x q pass (and its log-Phi transcendentals) is not repeated
+    (reference computes Z separately, R/update_vb.R:217-234)."""
+    from .special import inv_mills_ratio
+
+    sqrt_c = jnp.sqrt(c)
+    u = sqrt_c * (theta_b[:, None] + zeta[None, :])
+    log_p, log_1p = log_ndtr_both(u)
+    imr0 = inv_mills_ratio(0, u, log_1p, log_p)
+    imr1 = inv_mills_ratio(1, u, log_1p, log_p)
+    z = ((gam_b * (imr1 - imr0) + imr0) / sqrt_c
+         + (theta_b[:, None] + zeta[None, :]))
+    z = z * pm_b[:, None] * q_mask[None, :]
+    return jnp.sum(z, axis=1), jnp.sum(z, axis=0)
+
+
 def sweep_complete(x, cp_x_y, gram_blocks, gam, mu_beta, fitted, consts,
-                   block_size):
+                   block_size, p_mask=None, q_mask=None):
     """Full sweep over all p predictors, complete-data path.
 
     x: (n, p); cp_x_y: (p, q); gram_blocks: (nb, B, B);
     gam/mu_beta: (p, q); fitted: (n, q) = X @ (gam*mu).
-    Returns (gam', mu_beta', fitted').
+    Returns (gam', mu_beta', fitted', z_row, z_col) — the Z-moment
+    reductions are fused into the block loop when masks are given (None
+    is returned for them otherwise).
     """
     n, p = x.shape
     q = gam.shape[1]
     nb = p // block_size
+    fuse_z = p_mask is not None
     xt_b = jnp.moveaxis(x.reshape(n, nb, block_size), 1, 0)  # (nb, n, B)
     cp_b = cp_x_y.reshape(nb, block_size, q)
     gam_b = gam.reshape(nb, block_size, q)
     mu_b = mu_beta.reshape(nb, block_size, q)
     theta_b = consts.theta.reshape(nb, block_size)
+    pm_b = (p_mask.reshape(nb, block_size) if fuse_z
+            else jnp.ones((nb, block_size), gam.dtype))
 
-    def step(fitted, inp):
-        xb, cpb, gamb, mub, gb, thb = inp
+    def step(carry, inp):
+        fitted, z_col = carry
+        xb, cpb, gamb, mub, gb, thb, pmb = inp
         u = thb[:, None] + consts.zeta[None, :]
         log_p, log_1p = log_ndtr_both(u)
         r0 = jnp.einsum("ni,nq->iq", xb, fitted,
@@ -130,11 +153,21 @@ def sweep_complete(x, cp_x_y, gram_blocks, gam, mu_beta, fitted, consts,
                                      consts)
         fitted = fitted + jnp.einsum("ni,iq->nq", xb, delta,
                                      preferred_element_type=fitted.dtype)
-        return fitted, (gamb, mub)
+        if fuse_z:
+            masked_gam = gamb * pmb[:, None] * q_mask[None, :]
+            zr, zc = _z_block_sums(masked_gam, thb, consts.zeta, pmb, q_mask,
+                                   consts.c)
+            z_col = z_col + zc
+        else:
+            zr = jnp.zeros_like(thb)
+        return (fitted, z_col), (gamb, mub, zr)
 
-    fitted, (gam_out, mu_out) = jax.lax.scan(
-        step, fitted, (xt_b, cp_b, gam_b, mu_b, gram_blocks, theta_b))
-    return gam_out.reshape(p, q), mu_out.reshape(p, q), fitted
+    (fitted, z_col), (gam_out, mu_out, z_rows) = jax.lax.scan(
+        step, (fitted, jnp.zeros(q, fitted.dtype)),
+        (xt_b, cp_b, gam_b, mu_b, gram_blocks, theta_b, pm_b))
+    z_row = z_rows.reshape(p) if fuse_z else None
+    return (gam_out.reshape(p, q), mu_out.reshape(p, q), fitted,
+            z_row, z_col if fuse_z else None)
 
 
 def sweep_missing(x, cp_x_y, x_norm_sq, mis_pat, gam, mu_beta, fitted_masked,

@@ -1,0 +1,275 @@
+"""Fully-fused Pallas sweep: the entire Gauss-Seidel pass in one kernel.
+
+Third-generation TPU design of the reference's C++ hot loop
+(src/coreLoop.cpp:38-86).  Relative to the hybrid XLA+Pallas sweep
+(ops/sweep_pallas.py) this kernel:
+
+- inverts the loop nest — grid (response-tiles OUTER, predictor-blocks
+  INNER) — so the fitted matrix F = X beta lives in VMEM scratch across all
+  predictor blocks and touches HBM exactly twice per iteration instead of
+  once per block (the dominant HBM traffic at production shapes);
+- computes the probit log-Phi tails in-kernel with the fast erfcx form
+  (ops/special.py:log_ndtr_both_fast), removing the O(pq) XLA
+  pre-materialization of two log-Phi matrices;
+- accumulates the Z-moment reductions (rowSums/colSums of the truncated
+  normal posterior means, reference R/update_vb.R:217-234) in-kernel right
+  after each block's coordinate updates, removing the separate O(pq) XLA
+  pass;
+- runs the strictly-sequential within-block updates sub-blocked: rank-1
+  corrections stay inside an S-row window (VPU) and propagate to the
+  remaining rows once per sub-block as a rank-S MXU update.  Update order —
+  and the math — equals the reference's flat k-major Gauss-Seidel exactly.
+
+Per grid step (t, b):
+  r0    = x_b^T F_t                  (MXU)
+  inner sub-blocked Gauss-Seidel     (VPU + rank-S MXU)
+  z-tile reduction                   (VPU)
+  F_t  += x_b delta                  (MXU)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .special import log_ndtr_both_fast
+
+_LOG_SQRT_2PI = 0.9189385332046727
+
+
+def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
+                  s2_ref, tau_ref, logtau_ref, zeta_ref, theta_ref, pm_ref,
+                  qm_ref, f_hbm_ref, gam_out_ref, mu_out_ref, f_out_ref,
+                  zrow_ref, zcol_ref, f_scr, r_scr, delta_scr, zrow_scr,
+                  logp_scr, log1p_scr, dma_sem, *, nb: int, qtiles: int,
+                  sub: int):
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    qt = r_scr.shape[1]
+    bsz = r_scr.shape[0]
+
+    c = scal_ref[0]
+    log_sig2_inv = scal_ref[1]
+    # Gram diagonal: exactly n-1 for standardized X; padded predictor
+    # columns are all-zero so beta_old is identically 0 there and the wrong
+    # diagonal multiplies zero
+    d_diag = scal_ref[2]
+    sqrt_c = scal_ref[3]
+
+    s2 = s2_ref[0, :]
+    ct = c * s2 * tau_ref[0, :]
+    cst = -(logtau_ref[0, :] + log_sig2_inv + jnp.log(s2)) / 2.0
+    inv_2s2 = 0.5 / s2
+    zeta = zeta_ref[0, :]                   # (QT,)
+    theta = theta_ref[0, 0, :]              # (B,)
+    pm = pm_ref[0, 0, :]                    # (B,)
+    qm = qm_ref[0, :]                       # (QT,)
+
+    u = theta[:, None] + zeta[None, :]      # (B, QT)
+    # materialize the log-Phi tails in scratch: the sequential loop below
+    # reads them row-by-row with a dynamic index, which Mosaic only supports
+    # through a ref
+    lp, l1p = log_ndtr_both_fast(u)
+    logp_scr[:, :] = lp
+    log1p_scr[:, :] = l1p
+
+    # ---- fetch the F tile into VMEM at the first predictor block ----
+    @pl.when(b == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            f_hbm_ref.at[:, pl.ds(t * qt, qt)], f_scr, dma_sem)
+        dma.start()
+        dma.wait()
+
+    # ---- residual projections for this block (MXU) ----
+    r_scr[:, :] = jax.lax.dot_general(
+        x_ref[:, :], f_scr[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=r_scr.dtype)
+
+    gam_out_ref[:, :] = gam_in_ref[:, :]
+    mu_out_ref[:, :] = mu_in_ref[:, :]
+
+    # ---- sub-blocked sequential Gauss-Seidel ----
+    n_sub = bsz // sub
+    for s in range(n_sub):
+        lo = s * sub
+
+        def body(i, _, lo=lo):
+            row = lo + i
+            gam_i = gam_out_ref[row, :]
+            mu_i = mu_out_ref[row, :]
+            beta_old = gam_i * mu_i
+            g_seg = g_ref[row, lo:lo + sub]
+            r_i = r_scr[row, :] - beta_old * d_diag
+            mu_new = ct * (cp_ref[row, :] - r_i)
+            logit = c * (log1p_scr[row, :] - logp_scr[row, :]
+                         - mu_new * mu_new * inv_2s2 + cst)
+            gam_new = jax.nn.sigmoid(-logit)
+            delta = gam_new * mu_new - beta_old
+            r_scr[lo:lo + sub, :] = (r_scr[lo:lo + sub, :]
+                                     + g_seg[:, None] * delta[None, :])
+            gam_out_ref[row, :] = gam_new
+            mu_out_ref[row, :] = mu_new
+            delta_scr[row, :] = delta
+            return 0
+
+        jax.lax.fori_loop(0, sub, body, 0)
+
+        if lo + sub < bsz:
+            g_rest = g_ref[lo + sub:, lo:lo + sub]
+            r_scr[lo + sub:, :] = r_scr[lo + sub:, :] + jnp.dot(
+                g_rest, delta_scr[lo:lo + sub, :],
+                preferred_element_type=r_scr.dtype)
+
+    # ---- advance the resident F tile (MXU) ----
+    f_scr[:, :] = f_scr[:, :] + jax.lax.dot_general(
+        x_ref[:, :], delta_scr[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f_scr.dtype)
+
+    # ---- Z-moment tile reduction (reference: R/update_vb.R:217-234) ----
+    uc = sqrt_c * u
+    log_p_c, log_1p_c = log_ndtr_both_fast(uc)
+    pdf_term = -0.5 * uc * uc - _LOG_SQRT_2PI
+    imr1 = jnp.maximum(jnp.exp(pdf_term - log_p_c), -uc)
+    imr0 = jnp.minimum(-jnp.exp(pdf_term - log_1p_c), -uc)
+    gam_masked = gam_out_ref[:, :] * pm[:, None] * qm[None, :]
+    z = ((gam_masked * (imr1 - imr0) + imr0) / sqrt_c + u)
+    z = z * pm[:, None] * qm[None, :]
+
+    zr = jnp.sum(z, axis=1)                 # (B,)
+    zc = jnp.sum(z, axis=0)                 # (QT,)
+
+    @pl.when(t == 0)
+    def _():
+        zrow_scr[0, pl.ds(b * bsz, bsz)] = zr
+
+    @pl.when(t != 0)
+    def _():
+        zrow_scr[0, pl.ds(b * bsz, bsz)] = (
+            zrow_scr[0, pl.ds(b * bsz, bsz)] + zr)
+
+    @pl.when(b == 0)
+    def _():
+        zcol_ref[0, :] = zc
+
+    @pl.when(b != 0)
+    def _():
+        zcol_ref[0, :] = zcol_ref[0, :] + zc
+
+    # ---- write-backs at the boundaries ----
+    @pl.when(b == nb - 1)
+    def _():
+        dma = pltpu.make_async_copy(
+            f_scr, f_out_ref.at[:, pl.ds(t * qt, qt)], dma_sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(jnp.logical_and(t == qtiles - 1, b == nb - 1))
+    def _():
+        zrow_ref[0, :] = zrow_scr[0, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "q_tile", "sub"))
+def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
+                zeta, q_mask, sig2_beta, tau, log_tau, c, log_sig2_inv,
+                block_size: int = 128, q_tile: int = 1024, sub: int = 32):
+    """One full Gauss-Seidel sweep (+ fused Z reductions) as a single
+    pallas_call.
+
+    x: (n, p); cp_x_y/gam/mu_beta: (p, q); fitted: (n, q);
+    gram_flat: (p, B) stacked diagonal Gram blocks;
+    theta8/pm8: (nb, 8, B) sublane-padded per-block theta / predictor mask.
+    Returns (gam', mu', fitted', z_row (p,), z_col (q,)).
+    """
+    n, p = x.shape
+    q = gam.shape[1]
+    nb = p // block_size
+    qtiles = q // q_tile
+    dt = gam.dtype
+    interpret = jax.devices()[0].platform == "cpu"
+
+    scal = jnp.stack([jnp.asarray(c, dt), jnp.asarray(log_sig2_inv, dt),
+                      jnp.asarray(n - 1.0, dt),
+                      jnp.sqrt(jnp.asarray(c, dt))])
+
+    tile = lambda: pl.BlockSpec((block_size, q_tile), lambda t, b: (b, t),
+                                memory_space=pltpu.VMEM)
+    vec = lambda: pl.BlockSpec((1, q_tile), lambda t, b: (0, t),
+                               memory_space=pltpu.VMEM)
+    bvec = lambda: pl.BlockSpec((1, 8, block_size), lambda t, b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub),
+        grid=(qtiles, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
+            pl.BlockSpec((n, block_size), lambda t, b: (0, b),
+                         memory_space=pltpu.VMEM),                    # x
+            pl.BlockSpec((block_size, block_size), lambda t, b: (b, 0),
+                         memory_space=pltpu.VMEM),                    # gram
+            tile(), tile(), tile(),                  # cp, gam, mu
+            vec(), vec(), vec(), vec(),              # s2, tau, logtau, zeta
+            bvec(), bvec(),                          # theta8, pm8
+            vec(),                                   # q_mask
+            pl.BlockSpec(memory_space=pltpu.ANY),    # fitted (HBM)
+        ],
+        out_specs=(tile(), tile(),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec((1, p), lambda t, b: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   vec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, q), dt),
+            jax.ShapeDtypeStruct((p, q), dt),
+            jax.ShapeDtypeStruct((n, q), dt),
+            jax.ShapeDtypeStruct((1, p), dt),
+            jax.ShapeDtypeStruct((1, q), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, q_tile), dt),            # F tile
+            pltpu.VMEM((block_size, q_tile), dt),   # residual projections
+            pltpu.VMEM((block_size, q_tile), dt),   # delta
+            pltpu.VMEM((1, p), dt),                 # z_row accumulator
+            pltpu.VMEM((block_size, q_tile), dt),   # log Phi
+            pltpu.VMEM((block_size, q_tile), dt),   # log (1-Phi)
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={4: 0, 5: 1, 13: 2},   # gam/mu/fitted in place
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scal, x, gram_flat, cp_x_y, gam, mu_beta,
+      sig2_beta[None, :], tau[None, :], log_tau[None, :], zeta[None, :],
+      theta8, pm8, q_mask[None, :], fitted)
+    gam_out, mu_out, f_out, zrow, zcol = out
+    return gam_out, mu_out, f_out, zrow[0], zcol[0]
+
+
+def sweep_complete_fused(x, cp_x_y, gram_blocks, gam, mu_beta, fitted,
+                         consts, block_size, p_mask=None, q_mask=None,
+                         q_tile: int = 1024):
+    """Driver-facing wrapper matching ops/sweep.py:sweep_complete."""
+    n, p = x.shape
+    q = gam.shape[1]
+    nb = p // block_size
+    gram_flat = gram_blocks.reshape(nb * block_size, block_size)
+    if p_mask is None:
+        p_mask = jnp.ones((p,), gam.dtype)
+    if q_mask is None:
+        q_mask = jnp.ones((q,), gam.dtype)
+    theta8 = jnp.broadcast_to(
+        consts.theta.reshape(nb, 1, block_size), (nb, 8, block_size))
+    pm8 = jnp.broadcast_to(
+        p_mask.reshape(nb, 1, block_size), (nb, 8, block_size))
+
+    gam_out, mu_out, f_out, z_row, z_col = sweep_fused(
+        x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8, consts.zeta,
+        q_mask, consts.sig2_beta, consts.tau, consts.log_tau, consts.c,
+        consts.log_sig2_inv, block_size=block_size, q_tile=q_tile)
+    return gam_out, mu_out, f_out, z_row, z_col

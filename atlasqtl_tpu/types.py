@@ -119,6 +119,7 @@ class Config:
     dtype: Any = jnp.float32
     elbo_dtype: Any = jnp.float64
     use_pallas: bool = False
+    sweep: str = "auto"   # "auto" | "fused" | "pallas" | "xla"
     tol: float = 0.1
     maxit: int = 1000
     df: int = 1

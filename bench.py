@@ -46,7 +46,8 @@ def main():
     y -= y.mean(0)
 
     cfg = Config(dtype=jnp.float32, block_size=128, shr_fac_inv=float(q))
-    data = gl.build_data(x, y, cfg)
+    # 512-aligned response padding enables the fully-fused single-kernel sweep
+    data = gl.build_data(x, y, cfg, q_pad_to=512)
     state = gl.auto_init_device(0, data, (5.0, 25.0), float(q), cfg)
     hyper = gl.build_hyper(elic.auto_set_hyper(y[:, :256], p, (5, 25)),
                            data.y.shape[1], cfg)

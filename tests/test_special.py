@@ -99,3 +99,18 @@ def test_q_approx_jittable():
     np.testing.assert_allclose(np.asarray(f(x)),
                                sps.exp1(np.asarray(x)) * np.exp(np.asarray(x)),
                                rtol=1e-9)
+
+
+def test_log_ndtr_both_fast():
+    import scipy.special as sps
+    x = np.linspace(-35, 35, 2001)
+    lo, hi = sp.log_ndtr_both_fast(jnp.asarray(x, jnp.float64))
+    np.testing.assert_allclose(np.asarray(lo), sps.log_ndtr(x), atol=2e-7,
+                               rtol=2e-7)
+    np.testing.assert_allclose(np.asarray(hi), sps.log_ndtr(-x), atol=2e-7,
+                               rtol=2e-7)
+    # f32 dispatch of log_ndtr_both routes to the fast path and stays finite
+    lo32, hi32 = sp.log_ndtr_both(jnp.asarray(x, jnp.float32))
+    assert np.isfinite(np.asarray(lo32)).all()
+    np.testing.assert_allclose(np.asarray(lo32), sps.log_ndtr(x), atol=3e-5,
+                               rtol=1e-5)
