@@ -12,6 +12,7 @@ from .inference.elicitation import (set_hyper, set_init, auto_set_hyper,
                                     auto_set_init, map_hyperprior_elicitation,
                                     HyperSpec, InitSpec)
 from .inference.summarise import assign_bfdr, AtlasQTLResult
+from .inference.permutation import permutation_null_calibration
 from .io.checkpoint import load_checkpoint
 from .types import Config
 
@@ -20,5 +21,6 @@ __version__ = "0.1.0"
 __all__ = [
     "atlasqtl", "set_hyper", "set_init", "auto_set_hyper", "auto_set_init",
     "map_hyperprior_elicitation", "assign_bfdr", "AtlasQTLResult",
+    "permutation_null_calibration",
     "load_checkpoint", "Config", "HyperSpec", "InitSpec",
 ]

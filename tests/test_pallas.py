@@ -69,3 +69,26 @@ def test_full_iteration_pallas_matches_xla():
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(s_p.fitted), np.asarray(s_x.fitted),
                                atol=5e-3)
+
+
+def test_sweep_selection_logic():
+    from atlasqtl_tpu.models.global_local import _select_sweep, _fused_q_tile
+    from atlasqtl_tpu.types import Config
+    import jax
+
+    class FakeData:
+        def __init__(self, n, p, q):
+            self.x = np.zeros((n, p), np.float32)
+            self.y = np.zeros((n, q), np.float32)
+
+    # on CPU the auto policy must pick the XLA path for f64
+    cfg64 = Config(dtype=jnp.float64)
+    assert _select_sweep(cfg64, FakeData(100, 256, 512)) == "xla"
+    # explicit choices pass through
+    for choice in ("fused", "pallas", "xla"):
+        cfg = Config(dtype=jnp.float32, sweep=choice)
+        assert _select_sweep(cfg, FakeData(100, 256, 512)) == choice
+    # tile sizing respects the VMEM budget and divisibility
+    assert _fused_q_tile(1000, 10240) == 1024
+    assert _fused_q_tile(5000, 10240) == 256
+    assert _fused_q_tile(1000, 10000) is None   # no aligned divisor

@@ -78,3 +78,20 @@ def test_check_annealing_rejects():
         check_annealing((1, 2, 2000))
     check_annealing(None)
     check_annealing((1, 2, 10))
+
+
+def test_permutation_null_calibration():
+    import jax.numpy as jnp
+    from conftest import simulate_fixture
+    from atlasqtl_tpu import permutation_null_calibration
+
+    y, x, p_act = simulate_fixture(n=80, p=40, p_act=5, q=10, seed=21)
+    out = permutation_null_calibration(y, x, p0=(3, 9), n_perms=3, fdr=0.2,
+                                       seed=1, dtype=jnp.float64, maxit=150)
+    assert 0.0 <= out["threshold"] <= 1.0
+    assert out["null_stats"].shape == (3,)
+    # permuted nulls should produce far weaker PIPs than the real signal fit
+    import atlasqtl_tpu as aq
+    res = aq.atlasqtl(y, x, p0=(3, 9), dtype=jnp.float64, verbose=0,
+                      user_seed=3)
+    assert res.gam_vb[:p_act].max() > out["null_stats"].mean()
