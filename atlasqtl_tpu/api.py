@@ -37,7 +37,8 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
              dtype=None, block_size: int = 128,
              batch: str = "y", mesh=None,
              model: str = "global_local", df: int = 1,
-             anneal_replicas: int = 1) -> AtlasQTLResult:
+             anneal_replicas: int = 1,
+             missing: str = "exact") -> AtlasQTLResult:
     """Fit the global-local hotspot model (reference: atlasqtl, R/atlasqtl.R).
 
     Extra TPU-native knobs: `dtype` (jnp.float32 default; jnp.float64 for
@@ -99,10 +100,16 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
         dtype = jnp.float32
     if df < 1 or df % 2 == 0:
         raise ValueError("df must be an odd natural number (1, 3, 5, ...)")
+    if missing not in ("exact", "impute"):
+        raise ValueError("missing must be 'exact' or 'impute'")
+    if missing == "impute" and model == "global":
+        raise NotImplementedError(
+            "missing='impute' is only implemented for the global-local model")
     cfg = Config(block_size=(1 if batch == "0" else block_size), dtype=dtype,
                  tol=float(tol), maxit=int(maxit), df=int(df),
                  shr_fac_inv=shr_fac_inv,
                  thinned_elbo_eval=thinned_elbo_eval, debug=True,
+                 missing=missing,
                  q_axis=None if mesh is None else "q")
 
     from .parallel.mesh import (q_pad_multiple, shard_data, shard_hyper,

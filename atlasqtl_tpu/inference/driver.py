@@ -65,7 +65,7 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
         mod = mod_go
     else:
         raise ValueError(f"unknown model {model!r}")
-    if data.mis_pat is None:
+    if data.x_norm_sq is None:  # complete-data formulas (incl. VB-impute)
         p_pad = data.x.shape[1]
         block = min(cfg.block_size, p_pad)
         gram_blocks = jax.jit(block_gram, static_argnums=1)(data.x, block)

@@ -48,13 +48,20 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
     y[:n, :q] = y_np
 
     has_missing = bool(np.isnan(y).any())
+    n_mis = np.zeros(q_pad)
     if has_missing:
         mis_pat = (~np.isnan(y)).astype(np.float64)
         mis_pat[:n, q:] = 1.0  # padded responses behave as fully observed
         mis_pat[n:, :] = 0.0   # padded samples are never observed
         y = np.nan_to_num(y, nan=0.0)
-        n_eff = mis_pat[:, :].sum(axis=0)
-        n_eff[q:] = float(n)
+        if cfg.missing == "impute":
+            # VB-imputation path: complete-data formulas with q(y_mis)
+            # moments folded in; n_eff is the full n
+            n_mis[:q] = n - mis_pat[:n, :q].sum(axis=0)
+            n_eff = np.full(q_pad, float(n))
+        else:
+            n_eff = mis_pat[:, :].sum(axis=0)
+            n_eff[q:] = float(n)
     else:
         mis_pat = None
         n_eff = np.full(q_pad, float(n))
@@ -63,6 +70,8 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
     xd = jnp.asarray(x, dt)
     yd = jnp.asarray(y, dt)
     md = None if mis_pat is None else jnp.asarray(mis_pat, dt)
+
+    exact_missing = has_missing and cfg.missing == "exact"
 
     @partial(jax.jit, static_argnames=("missing",))
     def _precompute(xd, yd, md, missing: bool):
@@ -74,7 +83,7 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
         return cp_x_y, y_norm_sq, x_norm_sq
 
     cp_x_y, y_norm_sq, x_norm_sq = _precompute(xd, yd, md,
-                                               missing=has_missing)
+                                               missing=exact_missing)
 
     p_mask = np.zeros(p_pad); p_mask[:p] = 1.0
     q_mask = np.zeros(q_pad); q_mask[:q] = 1.0
@@ -82,7 +91,7 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
     j = lambda a: None if a is None else jnp.asarray(a, dt)
     return Data(
         x=xd, y=yd, cp_x_y=cp_x_y, y_norm_sq=y_norm_sq,
-        mis_pat=md, x_norm_sq=x_norm_sq, n_eff=j(n_eff),
+        mis_pat=md, x_norm_sq=x_norm_sq, n_eff=j(n_eff), n_mis=j(n_mis),
         p_mask=j(p_mask), q_mask=j(q_mask),
         n=jnp.asarray(float(n), dt),
         p_true=jnp.asarray(float(p), dt),
@@ -137,8 +146,8 @@ def build_state(init, data: Data, cfg: Config) -> VBState:
     gam = pad2(init.gam_vb)
     mu = pad2(init.mu_beta_vb)
     sig2_beta = padq(init.sig2_beta_vb, 1.0)
-    if data.mis_pat is not None:
-        # missing-data path carries a (p, q) slab variance
+    if data.x_norm_sq is not None:
+        # exact missing-data path carries a (p, q) slab variance
         sig2_beta = np.broadcast_to(sig2_beta[None, :], (p_pad, q_pad)).copy()
     tau = padq(init.tau_vb, 1.0)
     theta = padp(init.theta_vb, 0.0)
@@ -148,7 +157,7 @@ def build_state(init, data: Data, cfg: Config) -> VBState:
 
     beta = jnp.asarray(gam * mu, dt)
     fitted = jnp.matmul(data.x, beta, preferred_element_type=dt)
-    if data.mis_pat is not None:
+    if data.x_norm_sq is not None:
         fitted = fitted * data.mis_pat
 
     return VBState(
@@ -221,11 +230,11 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
         zeta = (n0 + jnp.sqrt(t02)
                 * jax.random.normal(ks[6], (q_pad,), dt)) * data.q_mask
         fitted = jnp.matmul(data.x, gam * mu, preferred_element_type=dt)
-        if data.mis_pat is not None:
+        if data.x_norm_sq is not None:
             fitted = fitted * data.mis_pat
         sig2_beta_full = (jnp.broadcast_to(sig2_beta[None, :],
                                            (p_pad, q_pad))
-                          if data.mis_pat is not None else sig2_beta)
+                          if data.x_norm_sq is not None else sig2_beta)
         return VBState(
             gam=gam, mu_beta=mu, sig2_beta=sig2_beta_full, tau=tau,
             sig2_inv=jnp.asarray(sig2_inv0, dt), theta=theta, zeta=zeta,
@@ -254,6 +263,8 @@ def _select_sweep(cfg: Config, data: Data) -> str:
     or default path."""
     impl = cfg.sweep
     if impl == "auto":
+        if cfg.block_size < 8:
+            return "xla"  # batch="0" reference mode: per-coordinate scan
         on_accel = jax.devices()[0].platform != "cpu"
         if (cfg.dtype == jnp.float32 and on_accel and cfg.q_axis is None
                 and _fused_q_tile(data.x.shape[0], data.y.shape[1])):
@@ -297,6 +308,20 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     (gam_colsum, m2b_colsum, m2b, beta2_colsum, yf_colsum, ff_colsum,
      beta) = _colsum_stats(data, state)
 
+    impute = data.mis_pat is not None and data.x_norm_sq is None
+    cp_x_y = data.cp_x_y
+    y_norm_sq = data.y_norm_sq
+    if impute:
+        # q(y_mis) update: y_mis | rest ~ N((X beta)_mis, 1/(c tau)); fold
+        # the moments into the complete-data sufficient statistics
+        v_mis = 1.0 / (c * state.tau)
+        y_eff = data.y + (1.0 - data.mis_pat) * state.fitted
+        cp_x_y = jnp.einsum("np,nq->pq", data.x, y_eff,
+                            preferred_element_type=dt)
+        y_norm_sq = (jnp.einsum("nq,nq->q", y_eff, y_eff)
+                     + data.n_mis * v_mis)
+        yf_colsum = jnp.einsum("nq,nq->q", y_eff, state.fitted)
+
     # 1-2: slab precision (:134-137)
     sum_gam = jnp.sum(gam_colsum * data.q_mask)
     nu_vb = upd.nu_update(hyper.nu, sum_gam, c)
@@ -306,7 +331,7 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     # residual precision (:141-145)
     eta_vb = upd.eta_update(data.n_eff, hyper.eta, gam_colsum, c)
     if data.x_norm_sq is None:
-        kappa_vb = upd.kappa_update(data.n, data.y_norm_sq, yf_colsum,
+        kappa_vb = upd.kappa_update(data.n, y_norm_sq, yf_colsum,
                                     ff_colsum, hyper.kappa, m2b_colsum,
                                     beta2_colsum, sig2_inv, c)
     else:
@@ -328,7 +353,7 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     consts = SweepConsts(sig2_beta=sig2_beta, tau=tau, log_tau=log_tau,
                          log_sig2_inv=log_sig2_inv, theta=state.theta,
                          zeta=state.zeta, c=c)
-    if data.mis_pat is None:
+    if data.x_norm_sq is None:
         block = gram_blocks.shape[1]
         impl = _select_sweep(cfg, data)
         if impl == "fused":
@@ -336,18 +361,18 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
             n = data.x.shape[0]
             q_tile = _fused_q_tile(n, data.y.shape[1])
             gam_new, mu_new, fitted, z_row, z_col = sweep_complete_fused(
-                data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
                 state.fitted, consts, block,
                 p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile)
         elif impl == "pallas":
             from ..ops.sweep_pallas import sweep_complete_pallas
             gam_new, mu_new, fitted, z_row, z_col = sweep_complete_pallas(
-                data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
                 state.fitted, consts, block,
                 p_mask=data.p_mask, q_mask=data.q_mask)
         else:
             gam_new, mu_new, fitted, z_row, z_col = sweep_complete(
-                data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
                 state.fitted, consts, block,
                 p_mask=data.p_mask, q_mask=data.q_mask)
         gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
@@ -431,10 +456,25 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
     (gam_colsum, m2b_colsum, m2b, beta2_colsum, yf_colsum, ff_colsum,
      beta) = _colsum_stats(data64, state64)
 
+    impute = data64.mis_pat is not None and data64.x_norm_sq is None
+    y_norm_sq = data64.y_norm_sq
+    entropy_y_mis = jnp.zeros((), dt)
+    if impute:
+        # re-derived q(y_mis) moments (a coordinate update, so the ELBO stays
+        # monotone) + entropy of the imputation factors
+        v_mis = 1.0 / state64.tau
+        y_eff = data64.y + (1.0 - data64.mis_pat) * state64.fitted
+        y_norm_sq = (jnp.einsum("nq,nq->q", y_eff, y_eff)
+                     + data64.n_mis * v_mis)
+        yf_colsum = jnp.einsum("nq,nq->q", y_eff, state64.fitted)
+        entropy_y_mis = 0.5 * jnp.sum(
+            data64.n_mis * (jnp.log(2.0 * jnp.pi * v_mis) + 1.0)
+            * data64.q_mask)
+
     sum_gam = jnp.sum(gam_colsum * data64.q_mask)
     eta_vb = upd.eta_update(data64.n_eff, hyper64.eta, gam_colsum)
     if data64.x_norm_sq is None:
-        kappa_vb = upd.kappa_update(data64.n, data64.y_norm_sq, yf_colsum,
+        kappa_vb = upd.kappa_update(data64.n, y_norm_sq, yf_colsum,
                                     ff_colsum, hyper64.kappa, m2b_colsum,
                                     beta2_colsum, state64.sig2_inv)
     else:
@@ -504,4 +544,4 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
                                  rho_vb, state64.sig2_inv)
 
     return (term_a + term_b + term_c + term_d + term_e + term_f + term_g
-            + term_h)
+            + term_h + entropy_y_mis)

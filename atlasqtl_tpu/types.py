@@ -104,6 +104,7 @@ class Data:
     mis_pat: Any
     x_norm_sq: Any
     n_eff: Any
+    n_mis: Any    # (q,) number of missing cells per response (zeros if none)
     p_mask: Any
     q_mask: Any
     n: Any        # scalar number of samples (static python int kept as leaf)
@@ -124,6 +125,9 @@ class Config:
     maxit: int = 1000
     df: int = 1
     shr_fac_inv: float = 1.0   # = q (set at fit time)
+    missing: str = "exact"     # "exact" (reference-equivalent) | "impute"
+                               # (VB-imputed y_mis: fused complete-data
+                               # kernel + one extra X^T y matmul per iter)
     anneal_scale: bool = True
     debug: bool = True
     thinned_elbo_eval: bool = True

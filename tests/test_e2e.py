@@ -164,3 +164,19 @@ def test_x_beta_vb_output(fixture_small):
     yc = y - y.mean(0)
     corr = np.corrcoef(res.x_beta_vb[:, 0], yc[:, 0])[0, 1]
     assert corr > 0.8
+
+
+def test_missing_impute_mode():
+    """VB-imputation missing-data path: complete-data kernel + q(y_mis)
+    moments; monotone ELBO and posterior close to the exact-marginal path."""
+    y, x, p_act = simulate_fixture(missing_frac=0.15, seed=5)
+    res_i = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                        user_seed=11, maxit=600, missing="impute")
+    assert res_i.converged
+    assert _monotone(res_i.elbo_history)
+    hot = res_i.hotspot_sizes()
+    assert (hot[:p_act] > 5).all()
+
+    res_e = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                        user_seed=11, maxit=600, missing="exact")
+    assert np.abs(res_i.gam_vb - res_e.gam_vb).mean() < 0.03
