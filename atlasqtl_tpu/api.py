@@ -116,9 +116,10 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
                                 shard_state)
     import jax as _jax
     q_pad_to = q_pad_multiple(mesh)
-    if (mesh is None and dtype == jnp.float32
-            and _jax.devices()[0].platform != "cpu"):
-        q_pad_to = 512  # fused single-kernel sweep wants 512-aligned tiles
+    if dtype == jnp.float32 and _jax.devices()[0].platform != "cpu":
+        # fused single-kernel sweep wants 512-aligned tiles (per shard)
+        n_dev = 1 if mesh is None else mesh.devices.size
+        q_pad_to = 512 * n_dev
     data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=q_pad_to)
     hyper = gl.build_hyper(hyper_spec, data.y.shape[1], cfg)
     state = gl.build_state(init_spec, data, cfg)
@@ -155,7 +156,7 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
     res = fit_global_local(data, hyper, state, cfg, anneal=anneal,
                            verbose=verbose, checkpointer=checkpointer,
                            tracer=tracer, model=model,
-                           replica_states=replica_states)
+                           replica_states=replica_states, mesh=mesh)
     if checkpointer is not None and res.converged:
         # reference cleans up unconditionally (R/utils.R:614-627); we keep the
         # last snapshots on non-convergence so runs can be resumed

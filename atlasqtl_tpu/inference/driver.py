@@ -46,7 +46,7 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
                      anneal=None, verbose: int = 1,
                      checkpointer=None, tracer=None,
                      model: str = "global_local",
-                     replica_states=None) -> FitResult:
+                     replica_states=None, mesh=None) -> FitResult:
     """Run annealed CAVI to convergence.
 
     checkpointer: optional callable(it, state, converged, lb_new, lb_old)
@@ -102,7 +102,8 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
                 it_local += 1
                 c_s = c if cfg.anneal_scale else 1.0
                 st = mod.cavi_iteration_donated(data, hyper, st, gram_blocks,
-                                                c, c_s, cfg=cfg, annealed=True)
+                                                c, c_s, cfg=cfg, annealed=True,
+                                                mesh=mesh)
                 if verbose and (it_local == 1 or it_local % 5 == 0):
                     log.info("Iteration %d (temperature %.4g)", it_local,
                              1.0 / c)
@@ -135,7 +136,8 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
         lb_old = lb_new
         it += 1
         state = mod.cavi_iteration_donated(data, hyper, state, gram_blocks,
-                                  1.0, 1.0, cfg=cfg, annealed=False)
+                                           1.0, 1.0, cfg=cfg, annealed=False,
+                                           mesh=mesh)
 
         if tracer is not None and (it == 1 or it % 25 == 0):
             tracer(it, state)

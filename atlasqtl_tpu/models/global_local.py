@@ -257,19 +257,23 @@ def _fused_q_tile(n, q_pad):
     return None
 
 
-def _select_sweep(cfg: Config, data: Data) -> str:
+def _select_sweep(cfg: Config, data: Data, mesh=None) -> str:
     """Sweep implementation choice: the fully-fused single-kernel sweep when
-    it applies (f32, real TPU, unsharded, F tile fits VMEM), else the chosen
-    or default path."""
+    it applies (f32, real TPU, F tile fits VMEM; sharded via shard_map when
+    a mesh is given), else the chosen or default path."""
     impl = cfg.sweep
     if impl == "auto":
         if cfg.block_size < 8:
             return "xla"  # batch="0" reference mode: per-coordinate scan
         on_accel = jax.devices()[0].platform != "cpu"
-        if (cfg.dtype == jnp.float32 and on_accel and cfg.q_axis is None
-                and _fused_q_tile(data.x.shape[0], data.y.shape[1])):
+        n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+        q_local = data.y.shape[1] // n_dev
+        sharding_ok = (cfg.q_axis is None) == (mesh is None)
+        if (cfg.dtype == jnp.float32 and on_accel and sharding_ok
+                and _fused_q_tile(data.x.shape[0], q_local)):
             return "fused"
-        if cfg.use_pallas or (on_accel and cfg.dtype == jnp.float32):
+        if mesh is None and (cfg.use_pallas
+                             or (on_accel and cfg.dtype == jnp.float32)):
             return "pallas"
         return "xla"
     return impl
@@ -297,7 +301,7 @@ def _colsum_stats(data: Data, state: VBState):
 
 def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                          gram_blocks, c, c_s, *, cfg: Config,
-                         annealed: bool) -> VBState:
+                         annealed: bool, mesh=None) -> VBState:
     """One CAVI iteration, update ordering identical to the reference loop
     (R/atlasqtl_global_local_core.R:125-338)."""
     dt = cfg.dtype
@@ -355,15 +359,20 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                          zeta=state.zeta, c=c)
     if data.x_norm_sq is None:
         block = gram_blocks.shape[1]
-        impl = _select_sweep(cfg, data)
+        impl = _select_sweep(cfg, data, mesh)
         if impl == "fused":
             from ..ops.sweep_fused import sweep_complete_fused
             n = data.x.shape[0]
-            q_tile = _fused_q_tile(n, data.y.shape[1])
-            gam_new, mu_new, fitted, z_row, z_col = sweep_complete_fused(
-                data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
-                state.fitted, consts, block,
-                p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile)
+            if mesh is not None:
+                gam_new, mu_new, fitted, z_row, z_col = _sharded_fused_sweep(
+                    mesh, cfg, data, state, gram_blocks, cp_x_y, consts,
+                    block)
+            else:
+                q_tile = _fused_q_tile(n, data.y.shape[1])
+                gam_new, mu_new, fitted, z_row, z_col = sweep_complete_fused(
+                    data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                    state.fitted, consts, block,
+                    p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile)
         elif impl == "pallas":
             from ..ops.sweep_pallas import sweep_complete_pallas
             gam_new, mu_new, fitted, z_row, z_col = sweep_complete_pallas(
@@ -424,14 +433,50 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     )
 
 
+def _sharded_fused_sweep(mesh, cfg, data, state, gram_blocks, cp_x_y,
+                         consts, block):
+    """shard_map wrapper running the fused kernel per q-shard; the only
+    cross-shard communication is the psum of the Z row-sums."""
+    from jax.sharding import PartitionSpec as P
+    from ..ops.sweep_fused import sweep_complete_fused
+
+    qax = cfg.q_axis
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    q_local = data.y.shape[1] // n_dev
+    q_tile = _fused_q_tile(data.x.shape[0], q_local)
+
+    def local(x, cp, gam, mu, fitted, s2, tau, logtau, zeta, theta, pmask,
+              qmask, c, log_sig2_inv, gb):
+        consts_l = SweepConsts(sig2_beta=s2, tau=tau, log_tau=logtau,
+                               log_sig2_inv=log_sig2_inv, theta=theta,
+                               zeta=zeta, c=c)
+        g, m, f, zr, zc = sweep_complete_fused(
+            x, cp, gb, gam, mu, fitted, consts_l, block,
+            p_mask=pmask, q_mask=qmask, q_tile=q_tile)
+        zr = jax.lax.psum(zr, qax)
+        return g, m, f, zr, zc
+
+    qs = P(None, qax)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), qs, qs, qs, qs, P(qax), P(qax), P(qax), P(qax), P(),
+                  P(), P(qax), P(), P(), P()),
+        out_specs=(qs, qs, qs, P(), P(qax)),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )(data.x, cp_x_y, state.gam, state.mu_beta, state.fitted,
+      consts.sig2_beta, consts.tau, consts.log_tau, consts.zeta,
+      consts.theta, data.p_mask, data.q_mask, consts.c, consts.log_sig2_inv,
+      gram_blocks)
+
+
 # Safe variant (callers may keep using the input state, e.g. tests).
-cavi_iteration = partial(jax.jit, static_argnames=("cfg", "annealed"))(
+cavi_iteration = partial(jax.jit, static_argnames=("cfg", "annealed", "mesh"))(
     _cavi_iteration_impl)
 
 # Buffer-donating variant for the fit loop: the input state's large arrays
 # are reused for the output, halving peak HBM in steady state.
 cavi_iteration_donated = jax.jit(_cavi_iteration_impl,
-                                 static_argnames=("cfg", "annealed"),
+                                 static_argnames=("cfg", "annealed", "mesh"),
                                  donate_argnames=("state",))
 
 

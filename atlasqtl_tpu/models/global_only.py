@@ -31,7 +31,8 @@ RHO_S0 = 0.5
 
 
 def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
-                    c, c_s, *, cfg: Config, annealed: bool) -> VBState:
+                    c, c_s, *, cfg: Config, annealed: bool,
+                    mesh=None) -> VBState:
     """One CAVI iteration of the global-only model
     (R/atlasqtl_global_core.R:117-271)."""
     del annealed  # no special-function branch in this variant
@@ -115,10 +116,11 @@ def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
     )
 
 
-cavi_iteration = partial(jax.jit, static_argnames=("cfg", "annealed"))(
+cavi_iteration = partial(jax.jit,
+                         static_argnames=("cfg", "annealed", "mesh"))(
     _iteration_impl)
 cavi_iteration_donated = jax.jit(_iteration_impl,
-                                 static_argnames=("cfg", "annealed"),
+                                 static_argnames=("cfg", "annealed", "mesh"),
                                  donate_argnames=("state",))
 
 

@@ -218,10 +218,10 @@ def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
             vec(), vec(), vec(), vec(),              # s2, tau, logtau, zeta
             bvec(), bvec(),                          # theta8, pm8
             vec(),                                   # q_mask
-            pl.BlockSpec(memory_space=pltpu.ANY),    # fitted (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # fitted (HBM)
         ],
         out_specs=(tile(), tile(),
-                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec((1, p), lambda t, b: (0, 0),
                                 memory_space=pltpu.VMEM),
                    vec()),

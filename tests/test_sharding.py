@@ -87,3 +87,37 @@ def test_sharded_e2e_api(setup):
     assert res.converged
     hot = res.hotspot_sizes()
     assert (hot[:p_act] > 0).any()
+
+
+def test_sharded_fused_sweep_matches_single_device():
+    """The shard_map-wrapped fused kernel must agree with the single-device
+    fused kernel (f32, interpret mode on CPU)."""
+    y, x, _ = simulate_fixture(n=80, p=256, p_act=6, q=64, seed=13)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    mesh = pmesh.make_mesh()
+    cfg = Config(dtype=jnp.float32, block_size=128, shr_fac_inv=float(q_eff),
+                 sweep="fused")
+    cfg_m = Config(dtype=jnp.float32, block_size=128,
+                   shr_fac_inv=float(q_eff), sweep="fused", q_axis="q")
+    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=128 * 8)
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p_eff, (3, 10)),
+                           data.y.shape[1], cfg)
+    init = elic.auto_set_init(dat.y, p_eff, (3, 10), float(q_eff), 42)
+    state = gl.build_state(init, data, cfg)
+    gram = block_gram(data.x, 128)
+
+    s_ref = gl.cavi_iteration(data, hyper, state, gram, 1.0, 1.0, cfg=cfg,
+                              annealed=False)
+
+    data_s = pmesh.shard_data(data, mesh)
+    hyper_s = pmesh.shard_hyper(hyper, mesh)
+    state_s = pmesh.shard_state(state, mesh)
+    s_shard = gl.cavi_iteration(data_s, hyper_s, state_s, gram, 1.0, 1.0,
+                                cfg=cfg_m, annealed=False, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(s_shard.gam), np.asarray(s_ref.gam),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s_shard.theta),
+                               np.asarray(s_ref.theta), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s_shard.fitted),
+                               np.asarray(s_ref.fitted), atol=5e-3)
