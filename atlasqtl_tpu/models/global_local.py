@@ -372,7 +372,8 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                 gam_new, mu_new, fitted, z_row, z_col = sweep_complete_fused(
                     data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
                     state.fitted, consts, block,
-                    p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile)
+                    p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile,
+                    sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16)
         elif impl == "pallas":
             from ..ops.sweep_pallas import sweep_complete_pallas
             gam_new, mu_new, fitted, z_row, z_col = sweep_complete_pallas(
@@ -452,7 +453,8 @@ def _sharded_fused_sweep(mesh, cfg, data, state, gram_blocks, cp_x_y,
                                zeta=zeta, c=c)
         g, m, f, zr, zc = sweep_complete_fused(
             x, cp, gb, gam, mu, fitted, consts_l, block,
-            p_mask=pmask, q_mask=qmask, q_tile=q_tile)
+            p_mask=pmask, q_mask=qmask, q_tile=q_tile,
+            sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16)
         zr = jax.lax.psum(zr, qax)
         return g, m, f, zr, zc
 

@@ -129,6 +129,9 @@ class Config:
                                # (VB-imputed y_mis: fused complete-data
                                # kernel + one extra X^T y matmul per iter)
     anneal_scale: bool = True
+    mxu_bf16: bool = False   # bfloat16 inputs (f32 accumulation) for the two
+                             # large MXU contractions of the fused sweep
+    sweep_sub: int = 16      # sub-block (unrolled window) of the fused sweep
     debug: bool = True
     thinned_elbo_eval: bool = True
     q_axis: Optional[str] = None   # mesh axis name for trait sharding
