@@ -157,10 +157,18 @@ def build_state(init, data: Data, cfg: Config) -> VBState:
 
     beta = jnp.asarray(gam * mu, dt)
     fitted = jnp.matmul(data.x, beta, preferred_element_type=dt)
+    colstats = (None, None, None)
     if data.x_norm_sq is not None:
         fitted = fitted * data.mis_pat
+    else:
+        colstats = (jnp.asarray(gam.sum(0), dt),
+                    jnp.asarray(np.einsum("pq,pq->q", mu * mu, gam), dt),
+                    jnp.asarray(np.einsum("pq,pq->q", gam * mu, gam * mu),
+                                dt))
 
     return VBState(
+        gam_colsum=colstats[0], mu2gam_colsum=colstats[1],
+        beta2_colsum=colstats[2],
         gam=jnp.asarray(gam, dt), mu_beta=jnp.asarray(mu, dt),
         sig2_beta=jnp.asarray(sig2_beta, dt), tau=jnp.asarray(tau, dt),
         sig2_inv=jnp.asarray(1e-2, dt),
@@ -235,7 +243,16 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
         sig2_beta_full = (jnp.broadcast_to(sig2_beta[None, :],
                                            (p_pad, q_pad))
                           if data.x_norm_sq is not None else sig2_beta)
+        if data.x_norm_sq is None:
+            beta0 = gam * mu
+            colstats = (jnp.sum(gam, axis=0),
+                        jnp.einsum("pq,pq->q", mu * mu, gam),
+                        jnp.einsum("pq,pq->q", beta0, beta0))
+        else:
+            colstats = (None, None, None)
         return VBState(
+            gam_colsum=colstats[0], mu2gam_colsum=colstats[1],
+            beta2_colsum=colstats[2],
             gam=gam, mu_beta=mu, sig2_beta=sig2_beta_full, tau=tau,
             sig2_inv=jnp.asarray(sig2_inv0, dt), theta=theta, zeta=zeta,
             sig02_inv=sig02_inv, lam2_inv=jnp.ones(p_pad, dt),
@@ -281,10 +298,25 @@ def _select_sweep(cfg: Config, data: Data, mesh=None) -> str:
 
 # ------------------------------------------------------------ one iteration
 
-def _colsum_stats(data: Data, state: VBState):
-    """Masked column statistics shared by the tau/sigma updates."""
+def _colsum_stats(data: Data, state: VBState, use_cached: bool = True):
+    """Masked column statistics shared by the tau/sigma updates.
+
+    When the sweep that produced `state` accumulated them in-kernel
+    (state.gam_colsum et al.), reuse them instead of re-reading the p x q
+    state from HBM.  The float64 ELBO path passes use_cached=False: its
+    monotonicity tolerance needs the f64 re-accumulation, not the kernel's
+    f32 sums."""
     gam = state.gam  # already masked post-sweep
     beta = gam * state.mu_beta
+    if (use_cached and state.gam_colsum is not None
+            and state.sig2_beta.ndim == 1):
+        gam_colsum = state.gam_colsum
+        m2b_colsum = state.mu2gam_colsum + state.sig2_beta * gam_colsum
+        beta2_colsum = state.beta2_colsum
+        yf_colsum = jnp.einsum("nq,nq->q", data.y, state.fitted)
+        ff_colsum = jnp.einsum("nq,nq->q", state.fitted, state.fitted)
+        return (gam_colsum, m2b_colsum, None, beta2_colsum, yf_colsum,
+                ff_colsum, beta)
     gam_colsum = jnp.sum(gam, axis=0)
     if state.sig2_beta.ndim == 1:
         m2b_colsum = (jnp.einsum("pq,pq->q", state.mu_beta * state.mu_beta, gam)
@@ -360,34 +392,40 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     if data.x_norm_sq is None:
         block = gram_blocks.shape[1]
         impl = _select_sweep(cfg, data, mesh)
+        colstats = None
         if impl == "fused":
             from ..ops.sweep_fused import sweep_complete_fused
             n = data.x.shape[0]
             if mesh is not None:
-                gam_new, mu_new, fitted, z_row, z_col = _sharded_fused_sweep(
+                (gam_new, mu_new, fitted, z_row, z_col,
+                 colstats) = _sharded_fused_sweep(
                     mesh, cfg, data, state, gram_blocks, cp_x_y, consts,
                     block)
             else:
                 q_tile = _fused_q_tile(n, data.y.shape[1])
-                gam_new, mu_new, fitted, z_row, z_col = sweep_complete_fused(
+                (gam_new, mu_new, fitted, z_row, z_col,
+                 colstats) = sweep_complete_fused(
                     data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
                     state.fitted, consts, block,
                     p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile,
                     sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16)
-        elif impl == "pallas":
-            from ..ops.sweep_pallas import sweep_complete_pallas
-            gam_new, mu_new, fitted, z_row, z_col = sweep_complete_pallas(
-                data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
-                state.fitted, consts, block,
-                p_mask=data.p_mask, q_mask=data.q_mask)
+            # the kernel masks gam/mu at write time
         else:
-            gam_new, mu_new, fitted, z_row, z_col = sweep_complete(
-                data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
-                state.fitted, consts, block,
-                p_mask=data.p_mask, q_mask=data.q_mask)
-        gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
-        mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+            if impl == "pallas":
+                from ..ops.sweep_pallas import sweep_complete_pallas
+                gam_new, mu_new, fitted, z_row, z_col = sweep_complete_pallas(
+                    data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                    state.fitted, consts, block,
+                    p_mask=data.p_mask, q_mask=data.q_mask)
+            else:
+                gam_new, mu_new, fitted, z_row, z_col = sweep_complete(
+                    data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                    state.fitted, consts, block,
+                    p_mask=data.p_mask, q_mask=data.q_mask)
+            gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+            mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
     else:
+        colstats = None
         gam_new, mu_new, fitted = sweep_missing(
             data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, state.gam,
             state.mu_beta, state.fitted, consts)
@@ -397,6 +435,13 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
         z_row, z_col = upd.z_moments(gam_new, state.theta, state.zeta,
                                      data.p_mask, data.q_mask, c,
                                      block_size=cfg.block_size)
+    if colstats is None and data.x_norm_sq is None:
+        # non-fused complete-data engines: accumulate the same column stats
+        # here (same einsum cost the next iteration used to pay)
+        beta_new = gam_new * mu_new
+        colstats = (jnp.sum(gam_new, axis=0),
+                    jnp.einsum("pq,pq->q", mu_new * mu_new, gam_new),
+                    jnp.einsum("pq,pq->q", beta_new, beta_new))
 
     # 8: horseshoe local scales — "keep this order!" (:239-274)
     l_vb = (c_s * state.sig02_inv * shr
@@ -429,6 +474,9 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
         gam=gam_new, mu_beta=mu_new, sig2_beta=sig2_beta, tau=tau,
         sig2_inv=sig2_inv, theta=theta, zeta=zeta, sig02_inv=sig02_inv,
         lam2_inv=lam2_inv, sig2_theta=sig2_theta, fitted=fitted,
+        gam_colsum=None if colstats is None else colstats[0],
+        mu2gam_colsum=None if colstats is None else colstats[1],
+        beta2_colsum=None if colstats is None else colstats[2],
         l_vb=l_vb, rho_xi_inv=rho_xi_inv, nu_s0_vb=nu_s0_vb,
         rho_s0_vb=rho_s0_vb,
     )
@@ -451,24 +499,26 @@ def _sharded_fused_sweep(mesh, cfg, data, state, gram_blocks, cp_x_y,
         consts_l = SweepConsts(sig2_beta=s2, tau=tau, log_tau=logtau,
                                log_sig2_inv=log_sig2_inv, theta=theta,
                                zeta=zeta, c=c)
-        g, m, f, zr, zc = sweep_complete_fused(
+        g, m, f, zr, zc, cs = sweep_complete_fused(
             x, cp, gb, gam, mu, fitted, consts_l, block,
             p_mask=pmask, q_mask=qmask, q_tile=q_tile,
             sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16)
         zr = jax.lax.psum(zr, qax)
-        return g, m, f, zr, zc
+        return g, m, f, zr, zc, cs[0], cs[1], cs[2]
 
     qs = P(None, qax)
-    return jax.shard_map(
+    out = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), qs, qs, qs, qs, P(qax), P(qax), P(qax), P(qax), P(),
                   P(), P(qax), P(), P(), P()),
-        out_specs=(qs, qs, qs, P(), P(qax)),
+        out_specs=(qs, qs, qs, P(), P(qax), P(qax), P(qax), P(qax)),
         check_vma=False,  # pallas_call outputs carry no vma annotations
     )(data.x, cp_x_y, state.gam, state.mu_beta, state.fitted,
       consts.sig2_beta, consts.tau, consts.log_tau, consts.zeta,
       consts.theta, data.p_mask, data.q_mask, consts.c, consts.log_sig2_inv,
       gram_blocks)
+    g, m, f, zr, zc, gcol, m2gcol, b2col = out
+    return g, m, f, zr, zc, (gcol, m2gcol, b2col)
 
 
 # Safe variant (callers may keep using the input state, e.g. tests).
@@ -501,7 +551,7 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
     hyper64 = jax.tree_util.tree_map(f, hyper)
 
     (gam_colsum, m2b_colsum, m2b, beta2_colsum, yf_colsum, ff_colsum,
-     beta) = _colsum_stats(data64, state64)
+     beta) = _colsum_stats(data64, state64, use_cached=False)
 
     impute = data64.mis_pat is not None and data64.x_norm_sq is None
     y_norm_sq = data64.y_norm_sq

@@ -139,7 +139,7 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
     hyper64 = jax.tree_util.tree_map(f, hyper)
 
     (gam_colsum, m2b_colsum, m2b, beta2_colsum, yf_colsum, ff_colsum,
-     beta) = _colsum_stats(data64, state64)
+     beta) = _colsum_stats(data64, state64, use_cached=False)
     sum_gam = jnp.sum(gam_colsum * data64.q_mask)
 
     eta_vb = upd.eta_update(data64.n_eff, hyper64.eta, gam_colsum)

@@ -15,6 +15,12 @@ Third-generation TPU design of the reference's C++ hot loop
   normal posterior means, reference R/update_vb.R:217-234) in-kernel right
   after each block's coordinate updates, removing the separate O(pq) XLA
   pass;
+- applies the padding masks to gam/mu at write time and accumulates the
+  three column statistics the next iteration needs (colsum gam,
+  colsum mu^2 gam, colsum (gam mu)^2 — feeding the nu/rho/eta/kappa updates,
+  reference R/atlasqtl_global_local_core.R:134-145) while the tiles are
+  still in VMEM, removing ~8 GB/iteration of XLA mask/einsum passes over
+  the p x q state at the eQTL bench shape;
 - runs the strictly-sequential within-block updates sub-blocked: the S-row
   window is fully unrolled (static indices) and each coordinate *lazily*
   gathers the rank-1 corrections of its in-window predecessors (triangular:
@@ -52,7 +58,8 @@ _LOG_SQRT_2PI = 0.9189385332046727
 def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
                   s2_ref, tau_ref, logtau_ref, zeta_ref, theta_ref, pm_ref,
                   qm_ref, f_hbm_ref, gam_out_ref, mu_out_ref, f_out_ref,
-                  zrow_ref, zcol_ref, f_scr, r_scr, delta_scr, zrow_scr,
+                  zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
+                  f_scr, r_scr, delta_scr, zrow_scr,
                   logp_scr, log1p_scr, dma_sem, *, nb: int, qtiles: int,
                   sub: int, mxu_bf16: bool):
     t = pl.program_id(0)
@@ -148,15 +155,37 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f_scr.dtype)
 
+    # ---- mask at write time + fused column statistics ----
+    msk = pm[:, None] * qm[None, :]
+    gam_m = gam_out_ref[:, :] * msk
+    mu_m = mu_out_ref[:, :] * msk
+    gam_out_ref[:, :] = gam_m
+    mu_out_ref[:, :] = mu_m
+    beta_m = gam_m * mu_m
+    gcol = jnp.sum(gam_m, axis=0)                    # (QT,)
+    m2gcol = jnp.sum(mu_m * mu_m * gam_m, axis=0)
+    b2col = jnp.sum(beta_m * beta_m, axis=0)
+
+    @pl.when(b == 0)
+    def _():
+        gcol_ref[0, :] = gcol
+        m2gcol_ref[0, :] = m2gcol
+        b2col_ref[0, :] = b2col
+
+    @pl.when(b != 0)
+    def _():
+        gcol_ref[0, :] = gcol_ref[0, :] + gcol
+        m2gcol_ref[0, :] = m2gcol_ref[0, :] + m2gcol
+        b2col_ref[0, :] = b2col_ref[0, :] + b2col
+
     # ---- Z-moment tile reduction (reference: R/update_vb.R:217-234) ----
     uc = sqrt_c * u
     log_p_c, log_1p_c = log_ndtr_both_fast(uc)
     pdf_term = -0.5 * uc * uc - _LOG_SQRT_2PI
     imr1 = jnp.maximum(jnp.exp(pdf_term - log_p_c), -uc)
     imr0 = jnp.minimum(-jnp.exp(pdf_term - log_1p_c), -uc)
-    gam_masked = gam_out_ref[:, :] * pm[:, None] * qm[None, :]
-    z = ((gam_masked * (imr1 - imr0) + imr0) / sqrt_c + u)
-    z = z * pm[:, None] * qm[None, :]
+    z = ((gam_m * (imr1 - imr0) + imr0) / sqrt_c + u)
+    z = z * msk
 
     zr = jnp.sum(z, axis=1)                 # (B,)
     zc = jnp.sum(z, axis=0)                 # (QT,)
@@ -246,12 +275,15 @@ def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
                    pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec((1, p), lambda t, b: (0, 0),
                                 memory_space=pltpu.VMEM),
-                   vec()),
+                   vec(), vec(), vec(), vec()),
         out_shape=(
             jax.ShapeDtypeStruct((p, q), dt),
             jax.ShapeDtypeStruct((p, q), dt),
             jax.ShapeDtypeStruct((n, q), dt),
             jax.ShapeDtypeStruct((1, p), dt),
+            jax.ShapeDtypeStruct((1, q), dt),
+            jax.ShapeDtypeStruct((1, q), dt),
+            jax.ShapeDtypeStruct((1, q), dt),
             jax.ShapeDtypeStruct((1, q), dt),
         ),
         scratch_shapes=[
@@ -273,8 +305,9 @@ def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
     )(scal, x, gram_flat, cp_x_y, gam, mu_beta,
       sig2_beta[None, :], tau[None, :], log_tau[None, :], zeta[None, :],
       theta8, pm8, q_mask[None, :], fitted)
-    gam_out, mu_out, f_out, zrow, zcol = out
-    return gam_out, mu_out, f_out, zrow[0], zcol[0]
+    gam_out, mu_out, f_out, zrow, zcol, gcol, m2gcol, b2col = out
+    return (gam_out, mu_out, f_out, zrow[0], zcol[0],
+            (gcol[0], m2gcol[0], b2col[0]))
 
 
 def sweep_complete_fused(x, cp_x_y, gram_blocks, gam, mu_beta, fitted,
@@ -295,9 +328,9 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, gam, mu_beta, fitted,
     pm8 = jnp.broadcast_to(
         p_mask.reshape(nb, 1, block_size), (nb, 8, block_size))
 
-    gam_out, mu_out, f_out, z_row, z_col = sweep_fused(
+    gam_out, mu_out, f_out, z_row, z_col, colstats = sweep_fused(
         x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8, consts.zeta,
         q_mask, consts.sig2_beta, consts.tau, consts.log_tau, consts.c,
         consts.log_sig2_inv, block_size=block_size, q_tile=q_tile, sub=sub,
         mxu_bf16=mxu_bf16)
-    return gam_out, mu_out, f_out, z_row, z_col
+    return gam_out, mu_out, f_out, z_row, z_col, colstats

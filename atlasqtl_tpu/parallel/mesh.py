@@ -67,7 +67,8 @@ def _state_spec(path, leaf):
         return P(None, Q_AXIS)
     if name == "sig2_beta":
         return P(None, Q_AXIS) if leaf.ndim == 2 else P(Q_AXIS)
-    if name in ("tau", "zeta"):
+    if name in ("tau", "zeta", "gam_colsum", "mu2gam_colsum",
+                "beta2_colsum"):
         return P(Q_AXIS)
     if name == "fitted":
         return P(None, Q_AXIS)

@@ -81,6 +81,12 @@ class VBState:
     rho_xi_inv: Any
     nu_s0_vb: Any
     rho_s0_vb: Any
+    # fused column statistics of (gam, mu_beta) accumulated in-kernel by the
+    # sweep that produced this state (colsum gam, colsum mu^2 gam,
+    # colsum (gam mu)^2); None on paths that recompute them via einsum
+    gam_colsum: Any = None
+    mu2gam_colsum: Any = None
+    beta2_colsum: Any = None
 
 
 @_pytree_dataclass

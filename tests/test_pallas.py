@@ -92,3 +92,73 @@ def test_sweep_selection_logic():
     assert _fused_q_tile(1000, 10240) == 1024
     assert _fused_q_tile(5000, 10240) == 256
     assert _fused_q_tile(1000, 10000) is None   # no aligned divisor
+
+
+def test_full_iteration_fused_matches_xla():
+    """The fully-fused kernel (interpret mode) through complete CAVI
+    iterations — exercises the in-kernel masking and the cached column
+    statistics (gam_colsum/mu2gam_colsum/beta2_colsum) that feed the
+    nu/rho/eta/kappa updates of the NEXT iteration."""
+    y, x, _ = simulate_fixture(n=120, p=256, p_act=8, q=48, seed=3)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg_x = Config(dtype=jnp.float32, block_size=128,
+                   shr_fac_inv=float(q_eff), sweep="xla")
+    cfg_f = Config(dtype=jnp.float32, block_size=128,
+                   shr_fac_inv=float(q_eff), sweep="fused")
+    data = gl.build_data(dat.x, dat.y, cfg_x, q_pad_to=128)
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p_eff, (4, 16)),
+                           data.y.shape[1], cfg_x)
+    init = elic.auto_set_init(dat.y, p_eff, (4, 16), float(q_eff), 7)
+    state0 = gl.build_state(init, data, cfg_x)
+    gram = block_gram(data.x, 128)
+
+    s_x = s_f = state0
+    for _ in range(3):
+        s_x = gl.cavi_iteration(data, hyper, s_x, gram, 1.0, 1.0,
+                                cfg=cfg_x, annealed=False)
+        s_f = gl.cavi_iteration(data, hyper, s_f, gram, 1.0, 1.0,
+                                cfg=cfg_f, annealed=False)
+    np.testing.assert_allclose(np.asarray(s_f.gam), np.asarray(s_x.gam),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s_f.mu_beta),
+                               np.asarray(s_x.mu_beta), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s_f.theta), np.asarray(s_x.theta),
+                               atol=5e-5)
+    # stats consumers: tau/sig2_inv come straight from the cached colsums
+    np.testing.assert_allclose(np.asarray(s_f.tau), np.asarray(s_x.tau),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(s_f.sig2_inv), float(s_x.sig2_inv),
+                               rtol=2e-5)
+    # padding stays inert: the kernel masks at write time
+    p_true = int(np.asarray(data.p_true))
+    q_true = int(np.asarray(data.q_true))
+    assert np.all(np.asarray(s_f.gam)[p_true:, :] == 0.0)
+    assert np.all(np.asarray(s_f.gam)[:, q_true:] == 0.0)
+    assert np.all(np.asarray(s_f.mu_beta)[p_true:, :] == 0.0)
+
+
+def test_fused_mxu_bf16_close_to_f32():
+    """bf16 MXU inputs (f32 accumulation) stay within coordinate-update
+    rounding of the f32 kernel."""
+    y, x, _ = simulate_fixture(n=120, p=256, p_act=8, q=48, seed=5)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    mk = lambda bf16: Config(dtype=jnp.float32, block_size=128,
+                             shr_fac_inv=float(q_eff), sweep="fused",
+                             mxu_bf16=bf16)
+    cfg32, cfg16 = mk(False), mk(True)
+    data = gl.build_data(dat.x, dat.y, cfg32, q_pad_to=128)
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p_eff, (4, 16)),
+                           data.y.shape[1], cfg32)
+    init = elic.auto_set_init(dat.y, p_eff, (4, 16), float(q_eff), 7)
+    state0 = gl.build_state(init, data, cfg32)
+    gram = block_gram(data.x, 128)
+    s32 = gl.cavi_iteration(data, hyper, state0, gram, 1.0, 1.0,
+                            cfg=cfg32, annealed=False)
+    s16 = gl.cavi_iteration(data, hyper, state0, gram, 1.0, 1.0,
+                            cfg=cfg16, annealed=False)
+    np.testing.assert_allclose(np.asarray(s16.gam), np.asarray(s32.gam),
+                               atol=5e-2)
+    np.testing.assert_allclose(np.asarray(s16.fitted),
+                               np.asarray(s32.fitted), atol=5e-2)
