@@ -148,6 +148,23 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
             elbo_history.append((it, lb_new))
             if verbose and (it == it_init or it % max(5, batch_conv) == 0):
                 log.info("Iteration %d: ELBO = %.6f", it, lb_new)
+            if verbose == 2 and (it == it_init
+                                 or it % max(5, batch_conv) == 0):
+                # per-iteration hotspot-scale diagnostics (reference:
+                # R/atlasqtl_global_local_core.R:297-305)
+                nu_s0 = float(np.asarray(state.nu_s0_vb))
+                rho_s0 = float(np.asarray(state.rho_s0_vb))
+                glob = math.sqrt(rho_s0 / max(nu_s0 - 1.0, eps)
+                                 / cfg.shr_fac_inv)
+                p_t = int(np.asarray(data.p_true))
+                lam = np.sqrt(1.0 / np.asarray(state.lam2_inv)[:p_t])
+                qs = np.percentile(lam, [0, 25, 50, 75, 100])
+                log.info("Variational hotspot propensity global scale: %.3g",
+                         glob)
+                log.info("Approximate variational hotspot propensity local "
+                         "scale: min=%.3g 1stQ=%.3g med=%.3g mean=%.3g "
+                         "3rdQ=%.3g max=%.3g", qs[0], qs[1], qs[2],
+                         float(lam.mean()), qs[3], qs[4])
 
             if cfg.debug and lb_new + eps < lb_old:
                 raise ElboDecreaseError(

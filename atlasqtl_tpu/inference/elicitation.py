@@ -86,7 +86,8 @@ class InitSpec:
     gam_vb: np.ndarray        # (p, q)
     mu_beta_vb: np.ndarray    # (p, q)
     sig02_inv_vb: float
-    sig2_beta_vb: np.ndarray  # (q,)
+    sig2_beta_vb: np.ndarray  # (q,), or (p, q) when resuming an
+                              # exact-missing-data run
     sig2_theta_vb: np.ndarray # (p,)
     tau_vb: np.ndarray        # (q,)
     theta_vb: np.ndarray      # (p,)
@@ -148,7 +149,12 @@ def set_init(q, p, gam_vb, mu_beta_vb, sig02_inv_vb, sig2_beta_vb,
     if mu_beta_vb.shape != (p, q):
         raise ValueError("mu_beta_vb must be a p x q matrix")
     sig02_inv_vb = float(sig02_inv_vb); _check_positive(sig02_inv_vb, "sig02_inv_vb")
-    sig2_beta_vb = _as_vec(sig2_beta_vb, q, "sig2_beta_vb")
+    sig2_beta_vb = np.asarray(sig2_beta_vb, dtype=np.float64)
+    if sig2_beta_vb.ndim == 2:
+        if sig2_beta_vb.shape != (p, q):
+            raise ValueError("matrix sig2_beta_vb must be p x q")
+    else:
+        sig2_beta_vb = _as_vec(sig2_beta_vb, q, "sig2_beta_vb")
     _check_positive(sig2_beta_vb, "sig2_beta_vb")
     sig2_theta_vb = _as_vec(sig2_theta_vb, p, "sig2_theta_vb")
     _check_positive(sig2_theta_vb, "sig2_theta_vb")

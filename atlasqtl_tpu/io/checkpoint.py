@@ -67,9 +67,9 @@ def load_checkpoint(fname):
     z = np.load(fname, allow_pickle=False)
     gam = z["gam_vb"]
     p, q = gam.shape
+    # exact-missing runs store a (p, q) sig2_beta; keep it intact so the
+    # first resumed sweep uses the same per-(j,k) variances it was saved with
     sig2_beta = z["sig2_beta_vb"]
-    if sig2_beta.ndim == 2:  # missing-data path stores (p, q); take col means
-        sig2_beta = sig2_beta.mean(axis=0)
     return InitSpec(
         q=q, p=p, gam_vb=gam, mu_beta_vb=z["mu_beta_vb"],
         sig02_inv_vb=float(z["sig02_inv_vb"]),

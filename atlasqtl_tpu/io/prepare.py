@@ -137,6 +137,27 @@ def prepare_data(y, x, tol, maxit, user_seed=None, verbose=1,
     if trace_path is not None and not os.path.isdir(trace_path):
         raise ValueError("trace_path directory does not exist")
 
+    # dimension-name extraction + consistency (reference:
+    # R/prepare_atlasqtl.R:47-55): pandas DataFrames (or anything exposing
+    # .index/.columns) supply row/column names; when both X and Y carry row
+    # names they must agree.
+    def _frame_names(m):
+        idx = getattr(m, "index", None)
+        cols = getattr(m, "columns", None)
+        to_list = lambda v: None if v is None else [str(e) for e in v]
+        return to_list(idx), to_list(cols)
+
+    rown_x, coln_x = _frame_names(x)
+    rown_y, coln_y = _frame_names(y)
+    if rown_x is not None and rown_y is not None and rown_x != rown_y:
+        raise ValueError("The provided rownames of X and Y must be the same.")
+    if names_n is None:
+        names_n = rown_x if rown_x is not None else rown_y
+    if names_x is None:
+        names_x = coln_x
+    if names_y is None:
+        names_y = coln_y
+
     x = _check_matrix(x, "X")
     y = _check_matrix(y, "Y")
     if np.isnan(x).any():

@@ -145,10 +145,17 @@ def build_state(init, data: Data, cfg: Config) -> VBState:
 
     gam = pad2(init.gam_vb)
     mu = pad2(init.mu_beta_vb)
-    sig2_beta = padq(init.sig2_beta_vb, 1.0)
-    if data.x_norm_sq is not None:
-        # exact missing-data path carries a (p, q) slab variance
-        sig2_beta = np.broadcast_to(sig2_beta[None, :], (p_pad, q_pad)).copy()
+    init_s2b = np.asarray(init.sig2_beta_vb)
+    if init_s2b.ndim == 2:  # resume of an exact-missing run: per-(j,k) values
+        sig2_beta = pad2(init_s2b, fill=1.0)
+        if data.x_norm_sq is None:  # resuming into a complete-data fit
+            sig2_beta = sig2_beta.mean(axis=0)
+    else:
+        sig2_beta = padq(init_s2b, 1.0)
+        if data.x_norm_sq is not None:
+            # exact missing-data path carries a (p, q) slab variance
+            sig2_beta = np.broadcast_to(sig2_beta[None, :],
+                                        (p_pad, q_pad)).copy()
     tau = padq(init.tau_vb, 1.0)
     theta = padp(init.theta_vb, 0.0)
     zeta = padq(init.zeta_vb, 0.0)
@@ -541,104 +548,170 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
     the Gamma factors "needed for monotonically increasing elbo"
     (R/atlasqtl_global_local_core.R:440-495).  Accumulates in cfg.elbo_dtype
     (falls back to cfg.dtype when float64 is not enabled).
+
+    The p x q state is never materialized in float64: a single lax.scan over
+    predictor blocks casts each block on the fly and accumulates both the
+    beta/gamma ELBO term and all the (q,)-length column statistics the other
+    terms need, so peak memory stays O(block x q) above the f32 state.
     """
     dt = cfg.elbo_dtype if jax.config.jax_enable_x64 else cfg.dtype
     f = lambda a: jnp.asarray(a, dt)
     shr = jnp.asarray(cfg.shr_fac_inv, dt)
 
-    state64 = jax.tree_util.tree_map(f, state)
-    data64 = jax.tree_util.tree_map(lambda a: None if a is None else f(a), data)
     hyper64 = jax.tree_util.tree_map(f, hyper)
+    # small leaves only (vectors / (n, q)); the (p, q) arrays are cast
+    # per block inside the scan below
+    tau = f(state.tau)
+    sig2_inv = f(state.sig2_inv)
+    zeta = f(state.zeta)
+    fitted = f(state.fitted)
+    y = f(data.y)
+    q_mask = f(data.q_mask)
+    n_eff = f(data.n_eff)
+    p_true, q_true, n_s = f(data.p_true), f(data.q_true), f(data.n)
 
-    (gam_colsum, m2b_colsum, m2b, beta2_colsum, yf_colsum, ff_colsum,
-     beta) = _colsum_stats(data64, state64, use_cached=False)
-
-    impute = data64.mis_pat is not None and data64.x_norm_sq is None
-    y_norm_sq = data64.y_norm_sq
+    missing_exact = data.x_norm_sq is not None
+    impute = data.mis_pat is not None and not missing_exact
+    y_norm_sq = f(data.y_norm_sq)
     entropy_y_mis = jnp.zeros((), dt)
     if impute:
         # re-derived q(y_mis) moments (a coordinate update, so the ELBO stays
         # monotone) + entropy of the imputation factors
-        v_mis = 1.0 / state64.tau
-        y_eff = data64.y + (1.0 - data64.mis_pat) * state64.fitted
-        y_norm_sq = (jnp.einsum("nq,nq->q", y_eff, y_eff)
-                     + data64.n_mis * v_mis)
-        yf_colsum = jnp.einsum("nq,nq->q", y_eff, state64.fitted)
+        n_mis = f(data.n_mis)
+        v_mis = 1.0 / tau
+        y_eff = y + (1.0 - f(data.mis_pat)) * fitted
+        y_norm_sq = jnp.einsum("nq,nq->q", y_eff, y_eff) + n_mis * v_mis
+        yf_colsum = jnp.einsum("nq,nq->q", y_eff, fitted)
         entropy_y_mis = 0.5 * jnp.sum(
-            data64.n_mis * (jnp.log(2.0 * jnp.pi * v_mis) + 1.0)
-            * data64.q_mask)
-
-    sum_gam = jnp.sum(gam_colsum * data64.q_mask)
-    eta_vb = upd.eta_update(data64.n_eff, hyper64.eta, gam_colsum)
-    if data64.x_norm_sq is None:
-        kappa_vb = upd.kappa_update(data64.n, y_norm_sq, yf_colsum,
-                                    ff_colsum, hyper64.kappa, m2b_colsum,
-                                    beta2_colsum, state64.sig2_inv)
+            n_mis * (jnp.log(2.0 * jnp.pi * v_mis) + 1.0) * q_mask)
     else:
-        xns_m2b = jnp.einsum("pq,pq->q", data64.x_norm_sq, m2b)
-        xns_b2 = jnp.einsum("pq,pq->q", data64.x_norm_sq, beta * beta)
-        kappa_vb = upd.kappa_update(data64.n, data64.y_norm_sq, yf_colsum,
-                                    ff_colsum, hyper64.kappa, m2b_colsum,
-                                    beta2_colsum, state64.sig2_inv,
-                                    x_norm_sq_m2b=xns_m2b,
-                                    x_norm_sq_beta2=xns_b2)
-    nu_vb = upd.nu_update(hyper64.nu, sum_gam)
-    rho_vb = upd.rho_update(hyper64.rho, m2b_colsum, state64.tau,
-                            data64.q_mask)
-    log_tau = upd.log_gamma_mean(eta_vb, kappa_vb)
-    log_sig2_inv = upd.log_gamma_mean(nu_vb, rho_vb)
-    log_sig02_inv = upd.log_gamma_mean(state64.nu_s0_vb, state64.rho_s0_vb)
-    log_xi_inv = upd.log_gamma_mean(jnp.asarray(1.0, dt), state64.rho_xi_inv)
-    xi_inv = 1.0 / state64.rho_xi_inv
+        yf_colsum = jnp.einsum("nq,nq->q", y, fitted)
+    ff_colsum = jnp.einsum("nq,nq->q", fitted, fitted)
 
     t02_inv = 1.0 / hyper64.t02
-    sig2_zeta = 1.0 / (data64.p_true + t02_inv)
-    vec_sum_log_det_zeta = -data64.q_true * (
-        jnp.log(hyper64.t02) + jnp.log(data64.p_true + t02_inv))
+    sig2_zeta = 1.0 / (p_true + t02_inv)
+    vec_sum_log_det_zeta = -q_true * (
+        jnp.log(hyper64.t02) + jnp.log(p_true + t02_inv))
 
-    term_a = elbo_ops.e_y(data64.n_eff, hyper64.kappa, kappa_vb, log_tau,
-                          m2b_colsum, state64.sig2_inv, state64.tau,
-                          data64.q_mask)
-
-    # blocked E log p(beta, gamma) - E log q(beta, gamma)
+    # log_tau / log_sig2_inv enter e_beta_gamma_blocked, but depend on the
+    # column statistics; run the blocked pass twice is avoided by noting
+    # e_beta_gamma is affine in (log_tau, log_sig2_inv, sig2_zeta) through
+    # separately-accumulated sums — instead we accumulate the raw sums first
+    # (stats pass folds them), then evaluate the closed-form terms.
     p_pad = state.gam.shape[0]
     q_pad = state.gam.shape[1]
     block = min(cfg.block_size, p_pad)
     nb = p_pad // block
+    s2b_1d = state.sig2_beta.ndim == 1
 
-    def bg_block(acc, idx):
+    def bg_block(carry, idx):
+        (gam_cs, mu2g_cs, b2_cs, xns_m2b, xns_b2, bg_fixed, gam_s, m2btau_s,
+         s2t_s) = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * block, block, 0)
-        s2b = state64.sig2_beta
-        s2_blk = sl(s2b) if s2b.ndim == 2 else jnp.broadcast_to(
-            s2b[None, :], (block, q_pad))
-        acc = acc + elbo_ops.e_beta_gamma_blocked(
-            sl(state64.gam), sl(state64.mu_beta), sl(state64.theta),
-            state64.zeta, log_tau, state64.tau, s2_blk, log_sig2_inv,
-            state64.sig2_inv, sig2_zeta, sl(state64.sig2_theta),
-            sl(data64.p_mask), data64.q_mask, dt)
-        return acc, None
+        gam_b = f(sl(state.gam))
+        mu_b = f(sl(state.mu_beta))
+        if s2b_1d:
+            s2_b = jnp.broadcast_to(f(state.sig2_beta)[None, :],
+                                    (block, q_pad))
+        else:
+            s2_b = f(sl(state.sig2_beta))
+        th_b = f(sl(state.theta))
+        s2th_b = f(sl(state.sig2_theta))
+        pm_b = f(sl(data.p_mask))
+        cell = pm_b[:, None] * q_mask[None, :]
+        gam_m = gam_b * cell
+        beta_b = gam_b * mu_b
+        m2_b = (mu_b * mu_b + s2_b) * gam_b
 
-    term_b, _ = jax.lax.scan(bg_block, jnp.zeros((), dt), jnp.arange(nb))
+        # column statistics
+        gam_cs = gam_cs + jnp.sum(gam_m, axis=0)
+        mu2g_cs = mu2g_cs + jnp.einsum("bq,bq->q", m2_b, cell)
+        b2_cs = b2_cs + jnp.einsum("bq,bq,bq->q", beta_b, beta_b, cell)
+        if missing_exact:
+            xns_b = f(sl(data.x_norm_sq))
+            xns_m2b = xns_m2b + jnp.einsum("bq,bq,bq->q", xns_b, m2_b, cell)
+            xns_b2 = xns_b2 + jnp.einsum(
+                "bq,bq,bq,bq->q", xns_b, beta_b, beta_b, cell)
 
-    q_app = q_approx(state64.l_vb)
+        # fixed part of E log p(beta,gamma) - E log q (reference:
+        # R/elbo.R:10-34) — everything except the log_tau / log_sig2_inv /
+        # tau*sig2_inv pieces, which need the re-derived Gamma factors and
+        # are folded in after the scan via the accumulated sums
+        u = th_b[:, None] + zeta[None, :]
+        log_p, log_1p = log_ndtr_both(u)
+        _xlogx = elbo_ops._xlogx
+        bg_fixed = bg_fixed + jnp.sum(
+            (gam_b * log_p + (1.0 - gam_b) * log_1p
+             - _xlogx(gam_b) - _xlogx(1.0 - gam_b)
+             + 0.5 * gam_b * (jnp.log(s2_b) + 1.0)) * cell)
+        gam_s = gam_s + jnp.sum(gam_m)                        # sum gam
+        m2btau_s = m2btau_s + jnp.einsum("bq,q,bq->", m2_b, tau, cell)
+        s2t_s = s2t_s + jnp.sum(s2th_b * pm_b)
+        return (gam_cs, mu2g_cs, b2_cs, xns_m2b, xns_b2, bg_fixed, gam_s,
+                m2btau_s, s2t_s), None
+
+    zq = jnp.zeros((q_pad,), dt)
+    z0 = jnp.zeros((), dt)
+    (gam_colsum, mu2g_colsum, beta2_colsum, xns_m2b, xns_b2, bg_fixed,
+     sum_gam, m2b_tau_sum, s2theta_sum), _ = jax.lax.scan(
+        bg_block, (zq, zq, zq, zq, zq, z0, z0, z0, z0), jnp.arange(nb))
+    m2b_colsum = mu2g_colsum  # (mu^2 + s2) gam summed — already includes s2
+
+    eta_vb = upd.eta_update(n_eff, hyper64.eta, gam_colsum)
+    if not missing_exact:
+        kappa_vb = upd.kappa_update(n_s, y_norm_sq, yf_colsum,
+                                    ff_colsum, hyper64.kappa, m2b_colsum,
+                                    beta2_colsum, sig2_inv)
+    else:
+        kappa_vb = upd.kappa_update(n_s, y_norm_sq, yf_colsum,
+                                    ff_colsum, hyper64.kappa, m2b_colsum,
+                                    beta2_colsum, sig2_inv,
+                                    x_norm_sq_m2b=xns_m2b,
+                                    x_norm_sq_beta2=xns_b2)
+    nu_vb = upd.nu_update(hyper64.nu, sum_gam)
+    rho_vb = upd.rho_update(hyper64.rho, m2b_colsum, tau, q_mask)
+    log_tau = upd.log_gamma_mean(eta_vb, kappa_vb)
+    log_sig2_inv = upd.log_gamma_mean(nu_vb, rho_vb)
+    log_sig02_inv = upd.log_gamma_mean(f(state.nu_s0_vb), f(state.rho_s0_vb))
+    log_xi_inv = upd.log_gamma_mean(jnp.asarray(1.0, dt), f(state.rho_xi_inv))
+    xi_inv = 1.0 / f(state.rho_xi_inv)
+
+    term_a = elbo_ops.e_y(n_eff, hyper64.kappa, kappa_vb, log_tau,
+                          m2b_colsum, sig2_inv, tau, q_mask)
+
+    # assemble term_b from the accumulated sums (same algebra as
+    # elbo_ops.e_beta_gamma_blocked, distributed over the scan):
+    term_b = (bg_fixed
+              + 0.5 * log_sig2_inv * sum_gam
+              + 0.5 * jnp.sum(gam_colsum * log_tau * q_mask)
+              - 0.5 * sig2_inv * m2b_tau_sum
+              - 0.5 * sig2_zeta * p_true * q_true
+              - 0.5 * q_true * s2theta_sum)
+
+    theta = f(state.theta)
+    sig2_theta = f(state.sig2_theta)
+    lam2_inv = f(state.lam2_inv)
+    l_vb = f(state.l_vb)
+    p_mask = f(data.p_mask)
+
+    q_app = q_approx(l_vb)
     term_c = elbo_ops.e_theta_hs(
-        state64.lam2_inv, state64.l_vb, log_sig02_inv + jnp.log(shr),
-        state64.theta, q_app, state64.sig02_inv * shr, state64.sig2_theta,
-        data64.p_mask, cfg.df)
+        lam2_inv, l_vb, log_sig02_inv + jnp.log(shr),
+        theta, q_app, f(state.sig02_inv) * shr, sig2_theta,
+        p_mask, cfg.df)
 
-    term_d = elbo_ops.e_zeta(state64.zeta, hyper64.n0, sig2_zeta, t02_inv,
-                             vec_sum_log_det_zeta, data64.q_true,
-                             data64.q_mask)
+    term_d = elbo_ops.e_zeta(zeta, hyper64.n0, sig2_zeta, t02_inv,
+                             vec_sum_log_det_zeta, q_true, q_mask)
     term_e = elbo_ops.e_tau(hyper64.eta, eta_vb, hyper64.kappa, kappa_vb,
-                            log_tau, state64.tau, data64.q_mask)
-    term_f = elbo_ops.e_sig2_inv_hs(xi_inv, state64.nu_s0_vb, log_xi_inv,
-                                    log_sig02_inv, state64.rho_s0_vb,
-                                    state64.sig02_inv)
+                            log_tau, tau, q_mask)
+    term_f = elbo_ops.e_sig2_inv_hs(xi_inv, f(state.nu_s0_vb), log_xi_inv,
+                                    log_sig02_inv, f(state.rho_s0_vb),
+                                    f(state.sig02_inv))
     term_g = elbo_ops.e_sig2_inv(jnp.asarray(0.5, dt), jnp.asarray(1.0, dt),
                                  log_xi_inv, hyper64.a2_inv,
-                                 state64.rho_xi_inv, xi_inv)
+                                 f(state.rho_xi_inv), xi_inv)
     term_h = elbo_ops.e_sig2_inv(hyper64.nu, nu_vb, log_sig2_inv, hyper64.rho,
-                                 rho_vb, state64.sig2_inv)
+                                 rho_vb, sig2_inv)
 
     return (term_a + term_b + term_c + term_d + term_e + term_f + term_g
             + term_h + entropy_y_mis)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-from .special import q_approx, upper_gamma_ratio, hyperg_1f1
+from .special import q_approx, upper_gamma_ratio
 
 
 def lam2_inv_exact(l_vb, df: int = 1):
@@ -48,23 +48,48 @@ def lam2_inv_annealed(l_vb, c_s, df: int = 1):
     c_s * L / df as computed by the driver.
 
     df=1: Gamma(2-c, L) / (Gamma(1-c, L) * L) - 1
-    df>1: Kummer-1F1 ratio (same formula as the reference's gsl path).
+    df>1: the reference's 1F1 combination (R/update_vb.R:78-81) is, by
+    Kummer's U decomposition
+    U(a,b,z) = Gamma(1-b)/Gamma(a-b+1) 1F1(a,b,z)
+             + Gamma(b-1)/Gamma(a) z^{1-b} 1F1(a-b+1, 2-b, z),
+    exactly Gamma(a1+2) U(a1+2, 3-c, L) / (df Gamma(a1+1) U(a1+1, 2-c, L))
+    with a1 = c(df-1)/2.  We evaluate the Us through their positive-integrand
+    representation U(a,b,z) Gamma(a) = int_0^inf t^{a-1}(1+t)^{b-a-1}e^{-zt}dt
+    — stable for every L, whereas the raw 1F1 series overflows e^L and
+    cancels catastrophically for L >~ 50 (early annealing routinely produces
+    L in the thousands).
     """
     if df == 1:
         return upper_gamma_ratio(c_s, l_vb) - 1.0
-    # General-df annealed branch (reference uses gsl::hyperg_1F1).
     from jax.scipy.special import gammaln
+    from .special import hyperg_1f1
+
     c = c_s
+    a1 = c * (df - 1) / 2.0
+    a2 = c * (df + 1) / 2.0
+    l_vb = jnp.maximum(jnp.asarray(l_vb), 1e-300)
+
+    # small-L branch: the reference's own 1F1 combination — its two U-terms
+    # do not cancel for small L (the z^{c-2} term dominates) and the series
+    # converge in a few terms
+    l_lo = jnp.minimum(l_vb, 5.0)
     g = lambda z: jnp.exp(gammaln(z))
-    a1 = c * (df - 1) / 2
-    a2 = c * (df + 1) / 2
-    num = (g(a1 + 2) * g(c) * hyperg_1f1(a1 + 2, 3 - c, l_vb)
-           / (c - 1) / (c - 2) / g(a2)
-           + g(2 - c) * l_vb ** (c - 2) * hyperg_1f1(a2, c - 1, l_vb))
-    den = (g(a1 + 1) * g(c) * hyperg_1f1(a1 + 1, 2 - c, l_vb)
-           / (c - 1) / g(a2)
-           + g(1 - c) * l_vb ** (c - 1) * hyperg_1f1(a2, c, l_vb))
-    return num / den / df
+    num_lo = (g(a1 + 2) * g(c) * hyperg_1f1(a1 + 2, 3 - c, l_lo)
+              / (c - 1) / (c - 2) / g(a2)
+              + g(2 - c) * l_lo ** (c - 2) * hyperg_1f1(a2, c - 1, l_lo))
+    den_lo = (g(a1 + 1) * g(c) * hyperg_1f1(a1 + 1, 2 - c, l_lo)
+              / (c - 1) / g(a2)
+              + g(1 - c) * l_lo ** (c - 1) * hyperg_1f1(a2, c, l_lo))
+    out_lo = num_lo / den_lo / df
+
+    # large-L branch: positive-integrand U representation via Gauss-Laguerre
+    # (the 1F1 series overflows e^L and cancels there; the Laguerre form is
+    # accurate once the e^{-Lt} cutoff dominates, i.e. L >~ 1)
+    l_hi = jnp.maximum(l_vb, 5.0)
+    log_num = _log_integral_laguerre(1.0, l_hi, a2, a1 + 1.0)
+    log_den = _log_integral_laguerre(1.0, l_hi, a2, a1)
+    out_hi = jnp.exp(log_num - log_den) / df
+    return jnp.where(l_vb <= 5.0, out_lo, out_hi)
 
 
 _GL_NODES = 100

@@ -157,11 +157,13 @@ def upper_gamma_ratio(c, x):
 def hyperg_1f1(a, b, x, n_terms: int = 400):
     """Kummer confluent hypergeometric 1F1(a; b; x) by direct series with a
     fixed number of terms (reference dep: gsl::hyperg_1F1 at
-    R/update_vb.R:78-81, used only by the annealed general-df local update).
+    R/update_vb.R:78-81).
 
-    Valid for b not a non-positive integer.  Accuracy degrades for large |x|
-    (>~50) due to cancellation — the annealed general-df path guards its
-    arguments accordingly.
+    Valid for b not a non-positive integer and |x| <~ 50 (the series
+    overflows/cancels beyond that).  The annealed general-df local update no
+    longer calls this: it evaluates the mathematically-equal Kummer-U
+    integral representation instead (ops/horseshoe.py:lam2_inv_annealed),
+    which is stable for all x.  Kept as a tested utility / cross-check.
     """
     x = jnp.asarray(x)
     a = jnp.asarray(a, x.dtype)

@@ -61,7 +61,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
                   zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
                   f_scr, r_scr, delta_scr, zrow_scr,
                   logp_scr, log1p_scr, dma_sem, *, nb: int, qtiles: int,
-                  sub: int, mxu_bf16: bool):
+                  sub: int, mxu_bf16: bool, probe: str = "none"):
     t = pl.program_id(0)
     b = pl.program_id(1)
     qt = r_scr.shape[1]
@@ -118,7 +118,21 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
     # (i scalar-broadcast FMAs, registers only) instead of eagerly writing
     # the whole S-row window per coordinate: ~2x less VPU work + no VMEM
     # window write traffic, identical update order and math.
-    n_sub = bsz // sub
+    if probe == "jacobi":
+        # PERF PROBE ONLY (wrong math): full-tile Jacobi update with no
+        # sequential corrections — measures the kernel's floor without the
+        # per-row chain.  Never selected by production code.
+        beta_old_blk = gam_in_ref[:, :] * mu_in_ref[:, :]
+        r_adj = r_scr[:, :] - beta_old_blk * d_diag
+        mu_blk = ct[None, :] * (cp_ref[:, :] - r_adj)
+        logit_blk = c * (log1p_scr[:, :] - logp_scr[:, :]
+                         - mu_blk * mu_blk * inv_2s2[None, :]
+                         + cst[None, :])
+        gam_blk = jax.nn.sigmoid(-logit_blk)
+        delta_scr[:, :] = gam_blk * mu_blk - beta_old_blk
+        gam_out_ref[:, :] = gam_blk
+        mu_out_ref[:, :] = mu_blk
+    n_sub = bsz // sub if probe == "none" else 0
     for s in range(n_sub):
         lo = s * sub
         for i in range(sub):
@@ -222,11 +236,11 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "q_tile", "sub",
-                                    "mxu_bf16"))
+                                    "mxu_bf16", "probe"))
 def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
                 zeta, q_mask, sig2_beta, tau, log_tau, c, log_sig2_inv,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
-                mxu_bf16: bool = False):
+                mxu_bf16: bool = False, probe: str = "none"):
     """One full Gauss-Seidel sweep (+ fused Z reductions) as a single
     pallas_call.
 
@@ -257,7 +271,7 @@ def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
 
     out = pl.pallas_call(
         functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub,
-                          mxu_bf16=mxu_bf16),
+                          mxu_bf16=mxu_bf16, probe=probe),
         grid=(qtiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal

@@ -53,6 +53,45 @@ def test_annealed_df1_matches_quadrature():
             np.testing.assert_allclose(got, num / den, rtol=1e-5)
 
 
+@pytest.mark.parametrize("df", [3, 5])
+def test_annealed_general_df_matches_quadrature(df):
+    """Annealed df>1 update over the full L range annealing produces.
+
+    By the Kummer-U identity (see ops/horseshoe.py:lam2_inv_annealed) the
+    reference's 1F1 combination (R/update_vb.R:78-81) equals
+    I(a1+1) / (df I(a1)) with I(n) = int_0^inf t^n (1+t)^{-a2} e^{-L t} dt;
+    we check against bounded-interval quadrature for moderate/large L and
+    against the small-L closed asymptote (1-c)/(df L) at tiny L — where the
+    raw 1F1 formula is exact and adaptive quadrature diverges, respectively.
+    """
+    for c in [0.2, 0.5, 0.9]:
+        a1 = c * (df - 1) / 2.0
+        a2 = c * (df + 1) / 2.0
+        # quadrature-checkable range (the e^{-Lt} cutoff makes [0, 80/L]
+        # capture everything)
+        for L in [0.5, 2.0, 4.9, 5.1, 20.0, 200.0, 2e4]:
+            num = quad(lambda t: t ** (a1 + 1) * (1 + t) ** (-a2)
+                       * np.exp(-L * t), 0, 80.0 / L, limit=400)[0]
+            den = quad(lambda t: t ** a1 * (1 + t) ** (-a2)
+                       * np.exp(-L * t), 0, 80.0 / L, limit=400)[0]
+            got = float(lam2_inv_annealed(jnp.asarray([L], jnp.float64),
+                                          c, df)[0])
+            np.testing.assert_allclose(got, num / den / df, rtol=2e-3)
+        # tiny L: adaptive quadrature diverges there, but the reference's raw
+        # 1F1 formula is reliable for small L — compare against it via scipy
+        from scipy.special import hyp1f1, gamma as G
+        for L in [1e-8, 1e-4, 0.05]:
+            num = (G(a1 + 2) * G(c) * hyp1f1(a1 + 2, 3 - c, L)
+                   / (c - 1) / (c - 2) / G(a2)
+                   + G(2 - c) * L ** (c - 2) * hyp1f1(a2, c - 1, L))
+            den = (G(a1 + 1) * G(c) * hyp1f1(a1 + 1, 2 - c, L)
+                   / (c - 1) / G(a2)
+                   + G(1 - c) * L ** (c - 1) * hyp1f1(a2, c, L))
+            got = float(lam2_inv_annealed(jnp.asarray([L], jnp.float64),
+                                          c, df)[0])
+            np.testing.assert_allclose(got, num / den / df, rtol=1e-6)
+
+
 def test_log_integral_hs_matches_quadrature():
     for alpha, m, n in [(3.0, 2, 2), (3.0, 2, 1), (5.0, 3, 3), (7.0, 4, 3)]:
         for beta in [0.5, 2.0, 10.0]:
