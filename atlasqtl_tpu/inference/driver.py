@@ -42,6 +42,54 @@ class ElboDecreaseError(RuntimeError):
     (R/atlasqtl_global_local_core.R:359-360)."""
 
 
+def _anneal_replicas_batched(mod, data, hyper, replica_states, gram_blocks,
+                             ladder, cfg: Config, mesh, verbose):
+    """Annealing replicas as a batched leading device axis (BASELINE north
+    star: "annealing ladder -> vmapped replica dimension").
+
+    The m replica states are stacked on a leading axis; every ladder rung
+    advances ALL replicas in one compiled call (jax.vmap over the iteration
+    on a single device; lax.map per rung under a mesh, where the inner
+    shard_map cannot be vmapped), and the best-ELBO replica is selected on
+    device.  Replaces the reference-free host loop of round 1 — same math,
+    batched device execution.
+    """
+    m = len(replica_states)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                     *replica_states)
+
+    def one_iter(st, c, c_s):
+        return mod.cavi_iteration(data, hyper, st, gram_blocks, c, c_s,
+                                  cfg=cfg, annealed=True, mesh=mesh)
+
+    if mesh is None:
+        rung = jax.jit(jax.vmap(one_iter, in_axes=(0, None, None)),
+                       donate_argnums=(0,))
+    else:
+        rung = jax.jit(
+            lambda s, c, c_s: jax.lax.map(lambda st: one_iter(st, c, c_s), s),
+            donate_argnums=(0,))
+
+    it_local = 0
+    for c in ladder[:-1]:  # the final rung c = 1 exits annealing mode
+        it_local += 1
+        c_s = c if cfg.anneal_scale else 1.0
+        stacked = rung(stacked, jnp.asarray(c, cfg.dtype),
+                       jnp.asarray(c_s, cfg.dtype))
+        if verbose and (it_local == 1 or it_local % 5 == 0):
+            log.info("Iteration %d (temperature %.4g, %d replicas)",
+                     it_local, 1.0 / c, m)
+
+    elbos = jax.jit(lambda s: jax.lax.map(
+        lambda st: mod.compute_elbo(data, hyper, st, cfg=cfg), s))(stacked)
+    best = jnp.argmax(elbos)
+    state = jax.tree_util.tree_map(lambda a: a[best], stacked)
+    if verbose:
+        for r, lb in enumerate(np.asarray(elbos)):
+            log.info("Annealing replica %d: ELBO = %.6f", r, lb)
+    return state, it_local
+
+
 def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
                      anneal=None, verbose: int = 1,
                      checkpointer=None, tracer=None,
@@ -113,16 +161,9 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
             return st, it_local
 
         if replica_states is not None:
-            # anneal each replica independently, keep the best-ELBO one
-            best_state, best_lb = None, -math.inf
-            for r, st in enumerate(replica_states):
-                st, it = anneal_one(st, tracer if r == 0 else None)
-                lb_r = float(mod.compute_elbo(data, hyper, st, cfg=cfg))
-                if verbose:
-                    log.info("Annealing replica %d: ELBO = %.6f", r, lb_r)
-                if lb_r > best_lb:
-                    best_state, best_lb = st, lb_r
-            state = best_state
+            state, it = _anneal_replicas_batched(
+                mod, data, hyper, replica_states, gram_blocks, ladder, cfg,
+                mesh, verbose)
         else:
             state, it = anneal_one(state, tracer)
         if verbose:

@@ -88,9 +88,13 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
     # materialize the log-Phi tails in scratch: the sequential loop below
     # reads them row-by-row with a dynamic index, which Mosaic only supports
     # through a ref
-    lp, l1p = log_ndtr_both_fast(u)
-    logp_scr[:, :] = lp
-    log1p_scr[:, :] = l1p
+    if probe != "jacobi_min":
+        lp, l1p = log_ndtr_both_fast(u)
+        logp_scr[:, :] = lp
+        log1p_scr[:, :] = l1p
+    else:  # PERF PROBE: skip the log-Phi tails (wrong math)
+        logp_scr[:, :] = u
+        log1p_scr[:, :] = -u
 
     # ---- fetch the F tile into VMEM at the first predictor block ----
     @pl.when(b == 0)
@@ -118,7 +122,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
     # (i scalar-broadcast FMAs, registers only) instead of eagerly writing
     # the whole S-row window per coordinate: ~2x less VPU work + no VMEM
     # window write traffic, identical update order and math.
-    if probe == "jacobi":
+    if probe in ("jacobi", "jacobi_min"):
         # PERF PROBE ONLY (wrong math): full-tile Jacobi update with no
         # sequential corrections — measures the kernel's floor without the
         # per-row chain.  Never selected by production code.
@@ -132,7 +136,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
         delta_scr[:, :] = gam_blk * mu_blk - beta_old_blk
         gam_out_ref[:, :] = gam_blk
         mu_out_ref[:, :] = mu_blk
-    n_sub = bsz // sub if probe == "none" else 0
+    n_sub = bsz // sub if probe in ("none", "exact_noz") else 0
     for s in range(n_sub):
         lo = s * sub
         for i in range(sub):
@@ -193,13 +197,16 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
         b2col_ref[0, :] = b2col_ref[0, :] + b2col
 
     # ---- Z-moment tile reduction (reference: R/update_vb.R:217-234) ----
-    uc = sqrt_c * u
-    log_p_c, log_1p_c = log_ndtr_both_fast(uc)
-    pdf_term = -0.5 * uc * uc - _LOG_SQRT_2PI
-    imr1 = jnp.maximum(jnp.exp(pdf_term - log_p_c), -uc)
-    imr0 = jnp.minimum(-jnp.exp(pdf_term - log_1p_c), -uc)
-    z = ((gam_m * (imr1 - imr0) + imr0) / sqrt_c + u)
-    z = z * msk
+    if probe in ("exact_noz", "jacobi_min"):
+        z = gam_m  # PERF PROBE: skip the Z transcendentals (wrong math)
+    else:
+        uc = sqrt_c * u
+        log_p_c, log_1p_c = log_ndtr_both_fast(uc)
+        pdf_term = -0.5 * uc * uc - _LOG_SQRT_2PI
+        imr1 = jnp.maximum(jnp.exp(pdf_term - log_p_c), -uc)
+        imr0 = jnp.minimum(-jnp.exp(pdf_term - log_1p_c), -uc)
+        z = ((gam_m * (imr1 - imr0) + imr0) / sqrt_c + u)
+        z = z * msk
 
     zr = jnp.sum(z, axis=1)                 # (B,)
     zc = jnp.sum(z, axis=0)                 # (QT,)
@@ -327,7 +334,7 @@ def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
 def sweep_complete_fused(x, cp_x_y, gram_blocks, gam, mu_beta, fitted,
                          consts, block_size, p_mask=None, q_mask=None,
                          q_tile: int = 1024, sub: int = 16,
-                         mxu_bf16: bool = False):
+                         mxu_bf16: bool = False, probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_complete."""
     n, p = x.shape
     q = gam.shape[1]
@@ -346,5 +353,5 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, gam, mu_beta, fitted,
         x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8, consts.zeta,
         q_mask, consts.sig2_beta, consts.tau, consts.log_tau, consts.c,
         consts.log_sig2_inv, block_size=block_size, q_tile=q_tile, sub=sub,
-        mxu_bf16=mxu_bf16)
+        mxu_bf16=mxu_bf16, probe=probe)
     return gam_out, mu_out, f_out, z_row, z_col, colstats

@@ -155,6 +155,50 @@ def test_anneal_replicas(fixture_small):
     assert (res.hotspot_sizes()[:p_act] > 10).all()
 
 
+def test_anneal_replicas_batched_equals_sequential(fixture_small):
+    """The batched (vmapped) replica rung must advance every replica exactly
+    like the independent per-replica loop, and select the best-ELBO one."""
+    import jax
+    from atlasqtl_tpu.types import Config
+    from atlasqtl_tpu.models import global_local as gl
+    from atlasqtl_tpu.inference import elicitation as elic
+    from atlasqtl_tpu.inference.driver import _anneal_replicas_batched
+    from atlasqtl_tpu.io.prepare import prepare_data
+    from atlasqtl_tpu.ops.annealing import annealing_ladder
+    from atlasqtl_tpu.ops.sweep import block_gram
+
+    y, x, _ = fixture_small
+    dat = prepare_data(y, x, 0.1, 100)
+    p, q = dat.x.shape[1], dat.y.shape[1]
+    cfg = Config(dtype=jnp.float64, block_size=16, shr_fac_inv=float(q))
+    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=8)
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p, (5, 25)),
+                           data.y.shape[1], cfg)
+    states = [gl.build_state(elic.auto_set_init(dat.y, p, (5, 25), float(q),
+                                                seed), data, cfg)
+              for seed in (0, 1, 2)]
+    gram = block_gram(data.x, cfg.block_size)
+    ladder = annealing_ladder(np.array([1.0, 2.0, 5.0]))
+
+    got, _ = _anneal_replicas_batched(gl, data, hyper, states, gram, ladder,
+                                      cfg, None, 0)
+
+    # sequential reference
+    best_lb, best_st = -np.inf, None
+    for st in states:
+        for c in ladder[:-1]:
+            st = gl.cavi_iteration(data, hyper, st, gram, c, c, cfg=cfg,
+                                   annealed=True)
+        lb = float(gl.compute_elbo(data, hyper, st, cfg=cfg))
+        if lb > best_lb:
+            best_lb, best_st = lb, st
+
+    np.testing.assert_allclose(np.asarray(got.gam), np.asarray(best_st.gam),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.theta),
+                               np.asarray(best_st.theta), atol=1e-12)
+
+
 def test_x_beta_vb_output(fixture_small):
     y, x, _ = fixture_small
     res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
