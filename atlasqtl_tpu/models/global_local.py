@@ -85,6 +85,12 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
     cp_x_y, y_norm_sq, x_norm_sq = _precompute(xd, yd, md,
                                                missing=exact_missing)
 
+    pair_gram = None
+    if exact_missing and cfg.mis_block > 1 and p_pad % cfg.mis_block == 0:
+        from ..ops.sweep import mis_pair_gram
+        pair_gram = jax.jit(mis_pair_gram, static_argnums=2)(
+            xd, md, cfg.mis_block)
+
     p_mask = np.zeros(p_pad); p_mask[:p] = 1.0
     q_mask = np.zeros(q_pad); q_mask[:q] = 1.0
 
@@ -96,6 +102,7 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
         n=jnp.asarray(float(n), dt),
         p_true=jnp.asarray(float(p), dt),
         q_true=jnp.asarray(float(q), dt),
+        mis_pair_gram=pair_gram,
     )
 
 
@@ -433,15 +440,25 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
             mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
     else:
         colstats = None
-        gam_new, mu_new, fitted = sweep_missing(
-            data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, state.gam,
-            state.mu_beta, state.fitted, consts)
-        gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
-        mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
-        # 7: probit latent moments (:237)
-        z_row, z_col = upd.z_moments(gam_new, state.theta, state.zeta,
-                                     data.p_mask, data.q_mask, c,
-                                     block_size=cfg.block_size)
+        if data.mis_pair_gram is not None:
+            from ..ops.sweep import sweep_missing_blocked
+            gam_new, mu_new, fitted, z_row, z_col = sweep_missing_blocked(
+                data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat,
+                data.mis_pair_gram, state.gam, state.mu_beta, state.fitted,
+                consts, cfg.mis_block, p_mask=data.p_mask,
+                q_mask=data.q_mask)
+            gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+            mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+        else:
+            gam_new, mu_new, fitted = sweep_missing(
+                data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, state.gam,
+                state.mu_beta, state.fitted, consts)
+            gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+            mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+            # 7: probit latent moments (:237)
+            z_row, z_col = upd.z_moments(gam_new, state.theta, state.zeta,
+                                         data.p_mask, data.q_mask, c,
+                                         block_size=cfg.block_size)
     if colstats is None and data.x_norm_sq is None:
         # non-fused complete-data engines: accumulate the same column stats
         # here (same einsum cost the next iteration used to pay)

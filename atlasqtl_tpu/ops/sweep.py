@@ -170,6 +170,120 @@ def sweep_complete(x, cp_x_y, gram_blocks, gam, mu_beta, fitted, consts,
             z_row, z_col if fuse_z else None)
 
 
+def mis_pair_gram(x, mis_pat, block: int):
+    """One-time precompute for the blocked exact-missing sweep: the
+    within-block triangular masked pair Grams
+
+        h[b, pair(i,j), k] = sum_n m_nk x_{n, bB+i} x_{n, bB+j},   j < i,
+
+    laid out row-major by i (flat pair index i(i-1)/2 + j).  These are the
+    only per-response Gram entries the blocked Gauss-Seidel needs (the
+    reference instead materializes q dense p x p Grams, cp_X_rm,
+    R/atlasqtl_global_local_core.R:25-38 — O(q p^2) memory; this is
+    O(pq (B-1)/2) and constant across iterations).
+
+    Returns (nb, B(B-1)/2, q).  Cost: one (B-1)/2 * n p q MACs matmul pass.
+    """
+    import numpy as np
+
+    n, p = x.shape
+    nb = p // block
+    ii, jj = np.tril_indices(block, -1)  # row-major by i: flat = i(i-1)/2+j
+    xb = jnp.moveaxis(x.reshape(n, nb, block), 1, 0)  # (nb, n, B)
+
+    def blk(carry, xb_):
+        pair = xb_[:, ii] * xb_[:, jj]                    # (n, npairs)
+        hb = jnp.einsum("np,nq->pq", pair, mis_pat,
+                        preferred_element_type=x.dtype)   # (npairs, q)
+        return carry, hb
+
+    _, h = jax.lax.scan(blk, 0, xb)
+    return h
+
+
+def sweep_missing_blocked(x, cp_x_y, x_norm_sq, mis_pat, pair_gram, gam,
+                          mu_beta, fitted_masked, consts, block: int,
+                          p_mask=None, q_mask=None):
+    """Blocked exact-missing sweep: same math and flat update order as
+    coreDualMisLoop (src/coreLoop.cpp:91-138), B predictors per step.
+
+    Per block b: one (B,n)x(n,q) MXU projection r0 = X_b^T Fm against the
+    carried masked fitted matrix Fm = mis_pat * (X beta); the strictly
+    sequential in-block updates gather their predecessors' corrections
+    through the PRECOMPUTED per-response pair Grams (`mis_pair_gram`) — the
+    per-(j,k) effective Gram diagonal is x_norm_sq; then Fm advances with
+    one (n,B)x(B,q) MXU matmul masked once per block.  Z-moment reductions
+    are fused into the block loop (they were a separate O(pq) pass before).
+
+    Replaces the p-step per-coordinate scan (`sweep_missing`) at ~B-fold
+    fewer sequential steps; exact to the oracle at f64.
+    """
+    n, p = x.shape
+    q = gam.shape[1]
+    nb = p // block
+    fuse_z = p_mask is not None
+    c = consts.c
+    sqrt_c = jnp.sqrt(c)
+
+    xt_b = jnp.moveaxis(x.reshape(n, nb, block), 1, 0)   # (nb, n, B)
+    cp_b = cp_x_y.reshape(nb, block, q)
+    gam_b = gam.reshape(nb, block, q)
+    mu_b = mu_beta.reshape(nb, block, q)
+    s2_b = consts.sig2_beta.reshape(nb, block, q)
+    d_b = x_norm_sq.reshape(nb, block, q)
+    theta_b = consts.theta.reshape(nb, block)
+    pm_b = (p_mask.reshape(nb, block) if fuse_z
+            else jnp.ones((nb, block), gam.dtype))
+
+    def step(carry, inp):
+        fm, z_col = carry
+        xb, cpb, gamb, mub, s2b, db, hb, thb, pmb = inp
+        u = thb[:, None] + consts.zeta[None, :]
+        log_p, log_1p = log_ndtr_both(u)
+        cst = -(consts.log_tau[None, :] + consts.log_sig2_inv
+                + jnp.log(s2b)) / 2.0
+        ct = c * s2b * consts.tau[None, :]
+        r0 = jnp.einsum("ni,nq->iq", xb, fm,
+                        preferred_element_type=fm.dtype)
+
+        deltas, gam_rows, mu_rows = [], [], []
+        for i in range(block):
+            r_i = r0[i]
+            base = i * (i - 1) // 2
+            for j in range(i):
+                r_i = r_i + hb[base + j] * deltas[j]
+            beta_old = gamb[i] * mub[i]
+            r_i = r_i - beta_old * db[i]
+            mu_new = ct[i] * (cpb[i] - r_i)
+            logit = c * (log_1p[i] - log_p[i]
+                         - mu_new * mu_new / (2.0 * s2b[i]) + cst[i])
+            gam_new = jax.nn.sigmoid(-logit)
+            deltas.append(gam_new * mu_new - beta_old)
+            gam_rows.append(gam_new)
+            mu_rows.append(mu_new)
+
+        delta = jnp.stack(deltas)                         # (B, q)
+        fm = fm + mis_pat * jnp.einsum("ni,iq->nq", xb, delta,
+                                       preferred_element_type=fm.dtype)
+        gamb_new = jnp.stack(gam_rows)
+        mub_new = jnp.stack(mu_rows)
+        if fuse_z:
+            masked_gam = gamb_new * pmb[:, None] * q_mask[None, :]
+            zr, zc = _z_block_sums(masked_gam, thb, consts.zeta, pmb, q_mask,
+                                   c)
+            z_col = z_col + zc
+        else:
+            zr = jnp.zeros_like(thb)
+        return (fm, z_col), (gamb_new, mub_new, zr)
+
+    (fm, z_col), (gam_out, mu_out, z_rows) = jax.lax.scan(
+        step, (fitted_masked, jnp.zeros(q, fitted_masked.dtype)),
+        (xt_b, cp_b, gam_b, mu_b, s2_b, d_b, pair_gram, theta_b, pm_b))
+    z_row = z_rows.reshape(p) if fuse_z else None
+    return (gam_out.reshape(p, q), mu_out.reshape(p, q), fm,
+            z_row, z_col if fuse_z else None)
+
+
 def sweep_missing(x, cp_x_y, x_norm_sq, mis_pat, gam, mu_beta, fitted_masked,
                   consts):
     """Missing-data sweep: per-coordinate scan with the residual statistic

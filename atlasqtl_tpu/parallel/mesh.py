@@ -49,8 +49,10 @@ def _data_spec(path, leaf):
         return P(None, Q_AXIS)
     if name in ("cp_x_y", "x_norm_sq"):
         return P(None, Q_AXIS)
-    if name in ("y_norm_sq", "n_eff", "q_mask"):
+    if name in ("y_norm_sq", "n_eff", "q_mask", "n_mis"):
         return P(Q_AXIS)
+    if name == "mis_pair_gram":
+        return P(None, None, Q_AXIS)
     return P()  # x, p_mask, scalars: replicated
 
 

@@ -116,6 +116,10 @@ class Data:
     n: Any        # scalar number of samples (static python int kept as leaf)
     p_true: Any   # true (unpadded) p
     q_true: Any   # true (unpadded) q
+    # (p/B, B(B-1)/2, q) within-block triangular masked pair Grams for the
+    # blocked exact-missing sweep (ops/sweep.py:mis_pair_gram); None unless
+    # the exact-missing path is active with mis_block > 1
+    mis_pair_gram: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +138,10 @@ class Config:
     missing: str = "exact"     # "exact" (reference-equivalent) | "impute"
                                # (VB-imputed y_mis: fused complete-data
                                # kernel + one extra X^T y matmul per iter)
+    mis_block: int = 8   # predictor block of the exact-missing sweep; the
+                         # precomputed pair-Gram tensor costs
+                         # (mis_block-1)/2 * p * q memory (1 -> per-
+                         # coordinate scan, no precompute)
     anneal_scale: bool = True
     mxu_bf16: bool = False   # bfloat16 inputs (f32 accumulation) for the two
                              # large MXU contractions of the fused sweep

@@ -21,13 +21,14 @@ from conftest import simulate_fixture
 from oracle import OracleState
 
 
-def _setup(missing_frac=0.0, n=60, p=40, q=12, block_size=16, seed=7):
+def _setup(missing_frac=0.0, n=60, p=40, q=12, block_size=16, seed=7,
+           mis_block=8):
     y, x, _ = simulate_fixture(n=n, p=p, p_act=5, q=q, seed=seed,
                                missing_frac=missing_frac)
     dat = prepare_data(y, x, 0.1, 1000)
     p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
     cfg = Config(dtype=jnp.float64, block_size=block_size,
-                 shr_fac_inv=float(q_eff))
+                 shr_fac_inv=float(q_eff), mis_block=mis_block)
     data = gl.build_data(dat.x, dat.y, cfg)
     hyper_spec = elic.auto_set_hyper(dat.y, p_eff, (3, 10))
     hyper = gl.build_hyper(hyper_spec, data.y.shape[1], cfg)
@@ -97,9 +98,15 @@ def test_annealed_iterations_match():
                                    rtol=1e-6, atol=1e-9)
 
 
-def test_missing_data_iterations_match():
-    cfg, data, hyper, state, oracle, gram, p, q = _setup(missing_frac=0.15)
+@pytest.mark.parametrize("mis_block", [1, 8, 16])
+def test_missing_data_iterations_match(mis_block):
+    """mis_block=1 exercises the per-coordinate scan; >1 the blocked
+    exact-missing sweep with precomputed pair Grams (ops/sweep.py:
+    sweep_missing_blocked) — both must be order-exact vs the oracle."""
+    cfg, data, hyper, state, oracle, gram, p, q = _setup(
+        missing_frac=0.15, mis_block=mis_block)
     assert data.mis_pat is not None
+    assert (data.mis_pair_gram is not None) == (mis_block > 1)
     for it in range(3):
         state = gl.cavi_iteration(data, hyper, state, gram, 1.0, 1.0,
                                   cfg=cfg, annealed=False)
