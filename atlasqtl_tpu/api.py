@@ -105,22 +105,35 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
     if missing == "impute" and model == "global":
         raise NotImplementedError(
             "missing='impute' is only implemented for the global-local model")
+    has_p_axis = mesh is not None and "p" in mesh.axis_names
     cfg = Config(block_size=(1 if batch == "0" else block_size), dtype=dtype,
                  tol=float(tol), maxit=int(maxit), df=int(df),
                  shr_fac_inv=shr_fac_inv,
                  thinned_elbo_eval=thinned_elbo_eval, debug=True,
                  missing=missing,
-                 q_axis=None if mesh is None else "q")
+                 q_axis=None if mesh is None else "q",
+                 p_axis="p" if has_p_axis else None)
+    if has_p_axis and missing == "exact":
+        # the pipelined 2-D sweep currently covers the complete-data and
+        # VB-impute paths; exact-missing keeps the 1-D q mesh
+        if np.isnan(np.asarray(dat.y, float)).any():
+            raise NotImplementedError(
+                "missing='exact' is not yet supported on a 2-D (p, q) mesh; "
+                "use a 1-D trait mesh or missing='impute'")
 
-    from .parallel.mesh import (q_pad_multiple, shard_data, shard_hyper,
-                                shard_state)
+    from .parallel.mesh import (p_pad_multiple, q_pad_multiple, shard_data,
+                                shard_hyper, shard_state)
     import jax as _jax
     q_pad_to = q_pad_multiple(mesh)
+    n_qsh = (1 if mesh is None
+             else (mesh.shape["q"] if "q" in mesh.axis_names
+                   else mesh.devices.size))
     if dtype == jnp.float32 and _jax.devices()[0].platform != "cpu":
         # fused single-kernel sweep wants 512-aligned tiles (per shard)
-        n_dev = 1 if mesh is None else mesh.devices.size
-        q_pad_to = 512 * n_dev
-    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=q_pad_to)
+        q_pad_to = 512 * n_qsh
+    p_shards = mesh.shape["p"] if has_p_axis else 1
+    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=q_pad_to,
+                         p_shards=p_shards)
     hyper = gl.build_hyper(hyper_spec, data.y.shape[1], cfg)
     state = gl.build_state(init_spec, data, cfg)
     if mesh is not None:

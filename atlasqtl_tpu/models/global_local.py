@@ -28,13 +28,17 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
-def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8) -> Data:
+def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8,
+               p_shards: int = 1) -> Data:
     """Pad to TPU-friendly shapes and precompute sufficient statistics
-    (reference precompute: R/atlasqtl_global_local_core.R:19-42)."""
+    (reference precompute: R/atlasqtl_global_local_core.R:19-42).
+
+    p_shards: the 2-D mesh needs p divisible by p_shards * block so every
+    p-shard holds whole predictor blocks."""
     n, p = x_np.shape
     q = y_np.shape[1]
     block = min(cfg.block_size, _round_up(p, 8))
-    p_pad = _round_up(p, block)
+    p_pad = _round_up(p, block * max(1, p_shards))
     q_pad = _round_up(q, q_pad_to)
     # the sample axis is padded to the sublane width with all-zero rows:
     # they contribute nothing to any sufficient statistic (X and Y rows are
@@ -405,9 +409,16 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                          zeta=state.zeta, c=c)
     if data.x_norm_sq is None:
         block = gram_blocks.shape[1]
-        impl = _select_sweep(cfg, data, mesh)
         colstats = None
-        if impl == "fused":
+        if mesh is not None and cfg.p_axis is not None:
+            # 2-D (p x q) mesh: pipelined exact sweep (q-tiles flow through
+            # the p-stages; see parallel/pipeline.py)
+            from ..parallel.pipeline import pipelined_sweep_2d
+            (gam_new, mu_new, fitted, z_row, z_col,
+             colstats) = pipelined_sweep_2d(mesh, cfg, data, state,
+                                            gram_blocks, cp_x_y, consts,
+                                            block)
+        elif (impl := _select_sweep(cfg, data, mesh)) == "fused":
             from ..ops.sweep_fused import sweep_complete_fused
             n = data.x.shape[0]
             if mesh is not None:

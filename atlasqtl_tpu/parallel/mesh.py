@@ -1,17 +1,28 @@
-"""Trait (q-axis) sharding over a TPU device mesh.
+"""Trait (q) and predictor (p) sharding over a TPU device mesh.
 
-The reference is single-threaded (SURVEY §2.3); the TPU-native scaling axis is
-the response dimension q: the CAVI sweep is embarrassingly independent across
-responses given (theta, zeta) (the reference's k-loop carries no cross-k
-state, src/coreLoop.cpp:58), so every (.., q) tensor is sharded on q and the
-few cross-q reductions (sum(gam), rowSums(Z), the kappa/rho accumulations and
-the scalar horseshoe-scale moments) become psum collectives that XLA/GSPMD
-inserts automatically from the sharding annotations.
+The reference is single-threaded (SURVEY §2.3); the TPU-native scaling axes
+are:
 
-Layout:
+- q (traits): the CAVI sweep is embarrassingly independent across responses
+  given (theta, zeta) (the reference's k-loop carries no cross-k state,
+  src/coreLoop.cpp:58), so every (.., q) tensor shards on q and the few
+  cross-q reductions (sum(gam), rowSums(Z), the kappa/rho accumulations and
+  the scalar horseshoe-scale moments) become psum collectives XLA/GSPMD
+  inserts from the sharding annotations.
+
+- p (predictors, 2-D mesh only): X (n, p), the diagonal Gram blocks and all
+  (p,) vectors shard over a second axis for pod-scale problems where
+  replicating X is infeasible (BASELINE config 5: X alone is 6 GB).  The
+  sweep's sequential-over-p order is preserved by the pipelined schedule in
+  parallel/pipeline.py (q-tiles flow through p-stages over ICI).
+
+1-D layout (q only):
   replicated: x (n, p), theta/lam2_inv/sig2_theta/p_mask (p,), scalars
-  q-sharded:  y/fitted (n, q), cp_x_y/gam/mu_beta (p, q),
+  q-sharded:  y/fitted/mis_pat (n, q), cp_x_y/gam/mu_beta/x_norm_sq (p, q),
               tau/zeta/eta/kappa/n0/q_mask/y_norm_sq/n_eff (q,)
+2-D layout ((p, q) mesh): as above, plus p-sharding of x (dim 1), the (p, q)
+  matrices (dim 0) and the (p,) vectors; fitted stays q-sharded and
+  p-replicated (every p-stage needs the full sample dimension).
 """
 from __future__ import annotations
 
@@ -24,57 +35,76 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..types import Data, Hyper, VBState
 
 Q_AXIS = "q"
+P_AXIS = "p"
 
 
-def make_mesh(devices=None) -> Mesh:
-    """1-D mesh over the trait axis; pass a subset of jax.devices() to
-    restrict."""
+def make_mesh(devices=None, p_shards: int = 1) -> Mesh:
+    """1-D trait mesh by default; p_shards > 1 builds the 2-D (p, q) mesh
+    (pod-scale layout).  Pass a subset of jax.devices() to restrict."""
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (Q_AXIS,))
+    devices = np.asarray(devices)
+    if p_shards > 1:
+        assert devices.size % p_shards == 0, (devices.size, p_shards)
+        return Mesh(devices.reshape(p_shards, -1), (P_AXIS, Q_AXIS))
+    return Mesh(devices, (Q_AXIS,))
+
+
+def _has_p(mesh: Mesh) -> bool:
+    return P_AXIS in mesh.axis_names
 
 
 def _put(tree, mesh, spec_fn):
+    two_d = _has_p(mesh)
+
     def place(path, leaf):
         if leaf is None:
             return None
-        spec = spec_fn(path, leaf)
+        spec = spec_fn(path, leaf, two_d)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map_with_path(place, tree)
 
 
-def _data_spec(path, leaf):
+def _data_spec(path, leaf, two_d):
     name = path[0].name if hasattr(path[0], "name") else str(path[0])
+    pax = P_AXIS if two_d else None
     if name in ("y", "mis_pat"):
         return P(None, Q_AXIS)
     if name in ("cp_x_y", "x_norm_sq"):
-        return P(None, Q_AXIS)
+        return P(pax, Q_AXIS)
     if name in ("y_norm_sq", "n_eff", "q_mask", "n_mis"):
         return P(Q_AXIS)
     if name == "mis_pair_gram":
         return P(None, None, Q_AXIS)
-    return P()  # x, p_mask, scalars: replicated
+    if name == "x":
+        return P(None, pax)
+    if name == "p_mask":
+        return P(pax)
+    return P()  # scalars: replicated
 
 
-def _hyper_spec(path, leaf):
+def _hyper_spec(path, leaf, two_d):
     name = path[0].name if hasattr(path[0], "name") else str(path[0])
     if name in ("eta", "kappa", "n0"):
         return P(Q_AXIS)
     return P()
 
 
-def _state_spec(path, leaf):
+def _state_spec(path, leaf, two_d):
     name = path[0].name if hasattr(path[0], "name") else str(path[0])
+    pax = P_AXIS if two_d else None
     if name in ("gam", "mu_beta"):
-        return P(None, Q_AXIS)
+        return P(pax, Q_AXIS)
     if name == "sig2_beta":
-        return P(None, Q_AXIS) if leaf.ndim == 2 else P(Q_AXIS)
+        return P(pax, Q_AXIS) if leaf.ndim == 2 else P(Q_AXIS)
     if name in ("tau", "zeta", "gam_colsum", "mu2gam_colsum",
                 "beta2_colsum"):
         return P(Q_AXIS)
     if name == "fitted":
         return P(None, Q_AXIS)
-    return P()  # theta, lam2_inv, sig2_theta, l_vb, scalars: replicated
+    if name in ("theta", "lam2_inv", "sig2_theta", "l_vb"):
+        return P(pax)
+    return P()  # scalars: replicated
 
 
 def shard_data(data: Data, mesh: Mesh) -> Data:
@@ -90,7 +120,16 @@ def shard_state(state: VBState, mesh: Mesh) -> VBState:
 
 
 def q_pad_multiple(mesh: Optional[Mesh]) -> int:
-    """q must be padded to a multiple of (8 * #devices) so shards are even
+    """q must be padded to a multiple of (8 * #q-shards) so shards are even
     and lane-aligned."""
-    n_dev = 1 if mesh is None else mesh.devices.size
-    return 8 * n_dev
+    if mesh is None:
+        return 8
+    n_q = mesh.shape[Q_AXIS] if Q_AXIS in mesh.axis_names else mesh.devices.size
+    return 8 * n_q
+
+
+def p_pad_multiple(mesh: Optional[Mesh], block: int) -> int:
+    """p must be padded so every p-shard holds whole predictor blocks."""
+    if mesh is None or not _has_p(mesh):
+        return 1
+    return mesh.shape[P_AXIS] * block

@@ -1,0 +1,191 @@
+"""Pipelined 2-D (p x q) sharded Gauss-Seidel sweep.
+
+Pod-scale design (BASELINE config 5: n=5k, p=300k, q=30k, multi-host): the
+q-axis shards traits as before (responses are independent given theta/zeta,
+SURVEY §2.3), and the p-axis shards predictors — X (n, p), the diagonal Gram
+blocks, and every (p, .) tensor — which the 1-D design had to replicate
+(6 GB X + 1.2 MB p-vectors per chip at pod shape).
+
+The sweep is strictly sequential over predictors (the reference's flat
+Gauss-Seidel order, src/coreLoop.cpp:58-85), so p-shards cannot run
+concurrently on the SAME response tile.  Instead the local q-shard is cut
+into T tiles that flow through the P predictor stages as a software
+pipeline: at pipeline step s, stage d processes tile t = s - d and then
+passes the updated fitted-matrix tile to stage d+1 over ICI (ppermute).
+Stage d only ever touches tile t after stages < d finished it, so the
+global update order is EXACTLY the single-device order — the pipeline is a
+scheduling device, not an approximation.  Utilization is T/(P+T-1).
+
+Cross-shard communication per iteration: (P+T-1) ppermutes of one
+(n, q_tile) tile per q-row, one (n, q_local) psum over p to broadcast the
+finished fitted matrix, and O(q_local + p_local) psums for the Z/column
+statistics.  Everything else is local.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.sweep import SweepConsts, sweep_complete
+
+
+def pick_q_tile(q_local: int, p_shards: int, n: int, prefer_fused: bool):
+    """Tile width: divides q_local, and small enough that T = q_local/qt
+    keeps the pipeline busy (T >= 2P when possible).  The fused kernel
+    additionally wants 128-multiples and an F tile within ~6 MB of VMEM."""
+    if prefer_fused:
+        cands = [c for c in (1024, 512, 256, 128)
+                 if c <= max(128, int(6e6 / (4 * n)) // 128 * 128)]
+    else:
+        cands = [1024, 512, 256, 128, 64, 32, 16, 8]
+    best = None
+    for c in cands:
+        if q_local % c == 0:
+            if best is None:
+                best = c
+            if q_local // c >= 2 * p_shards:
+                return c
+    return best
+
+
+def _tile_sweep_xla(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
+                    pm_l, qm_t):
+    """One-tile processor via the XLA scan sweep (CPU tests / f64 parity)."""
+    gam_n, mu_n, f_n, zr, zc = sweep_complete(
+        x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
+        p_mask=pm_l, q_mask=qm_t)
+    gam_n = gam_n * pm_l[:, None] * qm_t[None, :]
+    mu_n = mu_n * pm_l[:, None] * qm_t[None, :]
+    beta = gam_n * mu_n
+    gcol = jnp.sum(gam_n, axis=0)
+    m2g = jnp.einsum("pq,pq->q", mu_n * mu_n, gam_n)
+    b2 = jnp.einsum("pq,pq->q", beta, beta)
+    return gam_n, mu_n, f_n, zr, zc, gcol, m2g, b2
+
+
+def _tile_sweep_fused(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
+                      pm_l, qm_t, *, q_tile, sub, mxu_bf16):
+    """One-tile processor via the fused Pallas kernel (qtiles = 1)."""
+    from ..ops.sweep_fused import sweep_complete_fused
+    gram_blocks = gram_l
+    gam_n, mu_n, f_n, zr, zc, (gcol, m2g, b2) = sweep_complete_fused(
+        x_l, cp_t, gram_blocks, gam_t, mu_t, f_t, consts_t, block,
+        p_mask=pm_l, q_mask=qm_t, q_tile=q_tile, sub=sub, mxu_bf16=mxu_bf16)
+    return gam_n, mu_n, f_n, zr, zc, gcol, m2g, b2
+
+
+def pipelined_sweep_2d(mesh, cfg, data, state, gram_blocks, cp_x_y, consts,
+                       block):
+    """shard_map wrapper: run the exact sweep over a ("p", "q") mesh.
+
+    Returns (gam, mu, fitted, z_row, z_col, (gcol, m2gcol, b2col)) with the
+    same global values as the single-device sweep.
+    """
+    pax, qax = cfg.p_axis, cfg.q_axis
+    P_sh = mesh.shape[pax]
+    Q_sh = mesh.shape[qax]
+    n = data.x.shape[0]
+    q_local = data.y.shape[1] // Q_sh
+    on_accel = jax.devices()[0].platform != "cpu"
+    use_fused = (cfg.dtype == jnp.float32 and on_accel
+                 and cfg.sweep in ("auto", "fused"))
+    qt = pick_q_tile(q_local, P_sh, n, use_fused)
+    assert qt is not None, (q_local, P_sh)
+    T = q_local // qt
+
+    if use_fused:
+        tile_fn = partial(_tile_sweep_fused, q_tile=qt, sub=cfg.sweep_sub,
+                          mxu_bf16=cfg.mxu_bf16)
+    else:
+        tile_fn = _tile_sweep_xla
+
+    def local(x_l, cp_l, gam_l, mu_l, fitted_l, gram_l, theta_l, pm_l,
+              s2, tau, logtau, zeta, qm_l, c, log_sig2_inv):
+        pid = jax.lax.axis_index(pax)
+        dt = gam_l.dtype
+        p_l = gam_l.shape[0]
+
+        def step(s, carry):
+            gam_l, mu_l, fcur, fout, zrow, zcol, gcol, m2g, b2 = carry
+            t = s - pid
+            active = jnp.logical_and(t >= 0, t < T)
+            t_c = jnp.clip(t, 0, T - 1)
+            col = (t_c * qt).astype(jnp.int32)
+            z0 = jnp.zeros((), jnp.int32)
+            # stage 0 injects the tile from the carried fitted matrix
+            finj = jax.lax.dynamic_slice(fitted_l, (z0, col), (n, qt))
+            fin = jnp.where(pid == 0, finj, fcur)
+            gam_t = jax.lax.dynamic_slice(gam_l, (z0, col), (p_l, qt))
+            mu_t = jax.lax.dynamic_slice(mu_l, (z0, col), (p_l, qt))
+            cp_t = jax.lax.dynamic_slice(cp_l, (z0, col), (p_l, qt))
+            sl = lambda v: jax.lax.dynamic_slice(v, (col,), (qt,))
+            consts_t = SweepConsts(
+                sig2_beta=sl(s2), tau=sl(tau), log_tau=sl(logtau),
+                log_sig2_inv=log_sig2_inv, theta=theta_l, zeta=sl(zeta), c=c)
+
+            def do(_):
+                return tile_fn(x_l, cp_t, gram_l, gam_t, mu_t, fin, consts_t,
+                               block, pm_l, sl(qm_l))
+
+            def skip(_):
+                zq = jnp.zeros((qt,), dt)
+                return (gam_t, mu_t, fin, jnp.zeros((p_l,), dt), zq, zq, zq,
+                        zq)
+
+            gam_n, mu_n, f_n, zr, zc, gc, mg, bb = jax.lax.cond(
+                active, do, skip, 0)
+            gam_l = jax.lax.dynamic_update_slice(gam_l, gam_n, (z0, col))
+            mu_l = jax.lax.dynamic_update_slice(mu_l, mu_n, (z0, col))
+            zrow = zrow + zr
+
+            def upd(acc, v):
+                # inactive steps carry a clipped tile index — keep the slot
+                cur = jax.lax.dynamic_slice(acc, (col,), (qt,))
+                return jax.lax.dynamic_update_slice(
+                    acc, jnp.where(active, v, cur), (col,))
+
+            zcol, gcol, m2g, b2 = upd(zcol, zc), upd(gcol, gc), \
+                upd(m2g, mg), upd(b2, bb)
+            # finished tiles land on the last stage
+            f_keep = jnp.where(jnp.logical_and(active, pid == P_sh - 1),
+                               f_n, jax.lax.dynamic_slice(
+                                   fout, (z0, col), (n, qt)))
+            fout = jax.lax.dynamic_update_slice(fout, f_keep, (z0, col))
+            # rotate the tile to the next stage (ICI ring)
+            fnext = jax.lax.ppermute(
+                f_n, pax, [(i, (i + 1) % P_sh) for i in range(P_sh)])
+            return (gam_l, mu_l, fnext, fout, zrow, zcol, gcol, m2g, b2)
+
+        zq = jnp.zeros((q_local,), dt)
+        carry = (gam_l, mu_l, jnp.zeros((n, qt), dt),
+                 jnp.zeros((n, q_local), dt), jnp.zeros((p_l,), dt),
+                 zq, zq, zq, zq)
+        carry = jax.lax.fori_loop(0, P_sh + T - 1, step, carry)
+        gam_l, mu_l, _, fout, zrow, zcol, gcol, m2g, b2 = carry
+
+        fitted = jax.lax.psum(fout, pax)      # only the last stage is nonzero
+        zrow = jax.lax.psum(zrow, qax)        # theta needs the full q row sum
+        zcol = jax.lax.psum(zcol, pax)
+        gcol = jax.lax.psum(gcol, pax)
+        m2g = jax.lax.psum(m2g, pax)
+        b2 = jax.lax.psum(b2, pax)
+        return gam_l, mu_l, fitted, zrow, zcol, gcol, m2g, b2
+
+    pq = P(pax, qax)
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, pax), pq, pq, pq, P(None, qax), P(pax), P(pax),
+                  P(pax), P(qax), P(qax), P(qax), P(qax), P(qax), P(), P()),
+        out_specs=(pq, pq, P(None, qax), P(pax), P(qax), P(qax), P(qax),
+                   P(qax)),
+        check_vma=False,
+    )(data.x, cp_x_y, state.gam, state.mu_beta, state.fitted, gram_blocks,
+      consts.theta, data.p_mask, consts.sig2_beta, consts.tau,
+      consts.log_tau, consts.zeta, data.q_mask, consts.c,
+      consts.log_sig2_inv)
+    gam, mu, fitted, zrow, zcol, gcol, m2g, b2 = out
+    return gam, mu, fitted, zrow, zcol, (gcol, m2g, b2)

@@ -149,3 +149,5 @@ class Config:
     debug: bool = True
     thinned_elbo_eval: bool = True
     q_axis: Optional[str] = None   # mesh axis name for trait sharding
+    p_axis: Optional[str] = None   # mesh axis name for predictor sharding
+                                   # (2-D pod-scale mesh; pipelined sweep)
