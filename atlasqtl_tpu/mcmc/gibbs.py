@@ -138,6 +138,38 @@ def _beta_gam_sweep(state: GibbsState, data: Data, gram_blocks, consts,
     return (gam_out.reshape(p, q) * qm, beta_out.reshape(p, q) * qm, fitted)
 
 
+def sample_z(key, gam, theta, zeta, p_mask, q_mask, dt):
+    """Albert-Chib probit latents: Z | gam, theta, zeta via inverse-CDF
+    truncated normals (gam=1 -> Z > 0, gam=0 -> Z < 0)."""
+    u_mean = theta[:, None] + zeta[None, :]
+    log_p, log_1p = log_ndtr_both(u_mean)
+    uz = jax.random.uniform(key, gam.shape, dt, minval=1e-7,
+                            maxval=1.0 - 1e-7)
+    p_le0 = jnp.exp(log_1p)           # P(Z <= 0) for Z ~ N(u, 1) is Phi(-u)
+    v = jnp.where(gam > 0.5, p_le0 + uz * (1.0 - p_le0), uz * p_le0)
+    v = jnp.clip(v, 1e-7, 1.0 - 1e-7)
+    z = u_mean + ndtri(v)
+    return z * p_mask[:, None] * q_mask[None, :]
+
+
+def sample_tau_sig2(keys, data: Data, hyper: Hyper, gam, beta, fitted,
+                    sig2_inv, temper):
+    """Conjugate draws of the residual precisions tau and the slab precision
+    sig2_inv given (beta, gam, fitted)."""
+    resid2 = (data.y_norm_sq - 2.0 * jnp.einsum("nq,nq->q", data.y, fitted)
+              + jnp.einsum("nq,nq->q", fitted, fitted))
+    beta2_colsum = jnp.einsum("pq,pq->q", beta, beta)
+    shape_tau = (hyper.eta + 0.5 * temper * data.n_eff
+                 + 0.5 * jnp.sum(gam, axis=0))
+    rate_tau = hyper.kappa + 0.5 * (temper * resid2
+                                    + sig2_inv * beta2_colsum)
+    tau = _sample_gamma(keys[0], shape_tau, rate_tau, shape_tau.shape)
+    shape_s = hyper.nu + 0.5 * jnp.sum(gam)
+    rate_s = hyper.rho + 0.5 * jnp.sum(tau * beta2_colsum)
+    sig2_inv = _sample_gamma(keys[1], shape_s, rate_s)
+    return tau, sig2_inv
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def gibbs_sweep(state: GibbsState, data: Data, hyper: Hyper, gram_blocks, *,
                 cfg: Config, temper=1.0) -> GibbsState:
@@ -168,17 +200,8 @@ def gibbs_sweep(state: GibbsState, data: Data, hyper: Hyper, gram_blocks, *,
 
     # ---- Z | gam, theta, zeta (Albert-Chib truncated normals) ----------
     # and theta, zeta | Z in sequence
-    u_mean = state.theta[:, None] + state.zeta[None, :]
-    log_p, log_1p = log_ndtr_both(u_mean)
-    uz = jax.random.uniform(keys[1], gam.shape, dt,
-                            minval=1e-7, maxval=1.0 - 1e-7)
-    # inverse-CDF truncated normal: gam=1 -> Z > 0, gam=0 -> Z < 0
-    p_le0 = jnp.exp(log_1p)           # P(Z <= 0) for Z ~ N(u, 1) is Phi(-u)
-    # gam=1: sample v ~ U(P(Z<=0), 1);  gam=0: v ~ U(0, P(Z<=0))
-    v = jnp.where(gam > 0.5, p_le0 + uz * (1.0 - p_le0), uz * p_le0)
-    v = jnp.clip(v, 1e-7, 1.0 - 1e-7)
-    z = u_mean + ndtri(v)
-    z = z * data.p_mask[:, None] * data.q_mask[None, :]
+    z = sample_z(keys[1], gam, state.theta, state.zeta, data.p_mask,
+                 data.q_mask, dt)
 
     # theta | Z, zeta, scales
     prec_th = q_true + state.sig02_inv * state.lam2_inv * shr
@@ -197,21 +220,9 @@ def gibbs_sweep(state: GibbsState, data: Data, hyper: Hyper, gram_blocks, *,
     zeta = (mean_ze + jnp.sqrt(var_ze)
             * jax.random.normal(keys[3], mean_ze.shape, dt)) * data.q_mask
 
-    # ---- tau | rest ----------------------------------------------------
-    resid2 = (data.y_norm_sq - 2.0 * jnp.einsum("nq,nq->q", data.y, fitted)
-              + jnp.einsum("nq,nq->q", fitted, fitted))
-    beta2_colsum = jnp.einsum("pq,pq->q", beta, beta)
-    shape_tau = (hyper.eta + 0.5 * temper * data.n_eff
-                 + 0.5 * jnp.sum(gam, axis=0))
-    rate_tau = hyper.kappa + 0.5 * (temper * resid2
-                                    + state.sig2_inv * beta2_colsum)
-    tau = _sample_gamma(keys[4], shape_tau, rate_tau, shape_tau.shape)
-
-    # ---- sig2_inv | rest ----------------------------------------------
-    sum_gam = jnp.sum(gam)
-    shape_s = hyper.nu + 0.5 * sum_gam
-    rate_s = hyper.rho + 0.5 * jnp.sum(tau * beta2_colsum)
-    sig2_inv = _sample_gamma(keys[5], shape_s, rate_s)
+    # ---- tau, sig2_inv | rest ------------------------------------------
+    tau, sig2_inv = sample_tau_sig2((keys[4], keys[5]), data, hyper, gam,
+                                    beta, fitted, state.sig2_inv, temper)
 
     # ---- horseshoe scales ---------------------------------------------
     # lam_s^2 | theta, sig02_inv, nu_aux ~ IG(1, 1/nu_aux + th^2 prec/2)
