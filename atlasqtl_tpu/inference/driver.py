@@ -58,24 +58,29 @@ def _anneal_replicas_batched(mod, data, hyper, replica_states, gram_blocks,
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                      *replica_states)
 
-    def one_iter(st, c, c_s):
+    def one_iter(st, c, c_s, lite):
         return mod.cavi_iteration(data, hyper, st, gram_blocks, c, c_s,
-                                  cfg=cfg, annealed=True, mesh=mesh)
+                                  cfg=cfg, annealed=True, mesh=mesh,
+                                  lite=lite)
 
     if mesh is None:
-        rung = jax.jit(jax.vmap(one_iter, in_axes=(0, None, None)),
-                       donate_argnums=(0,))
+        rung = jax.jit(jax.vmap(one_iter, in_axes=(0, None, None, None)),
+                       donate_argnums=(0,), static_argnums=(3,))
     else:
         rung = jax.jit(
-            lambda s, c, c_s: jax.lax.map(lambda st: one_iter(st, c, c_s), s),
-            donate_argnums=(0,))
+            lambda s, c, c_s, lite: jax.lax.map(
+                lambda st: one_iter(st, c, c_s, lite), s),
+            donate_argnums=(0,), static_argnums=(3,))
 
     it_local = 0
+    n_rungs = len(ladder) - 1
     for c in ladder[:-1]:  # the final rung c = 1 exits annealing mode
         it_local += 1
         c_s = c if cfg.anneal_scale else 1.0
+        # the last rung must emit fresh gam/mu: the best-replica selection
+        # below evaluates the ELBO on its output
         stacked = rung(stacked, jnp.asarray(c, cfg.dtype),
-                       jnp.asarray(c_s, cfg.dtype))
+                       jnp.asarray(c_s, cfg.dtype), it_local < n_rungs)
         if verbose and (it_local == 1 or it_local % 5 == 0):
             log.info("Iteration %d (temperature %.4g, %d replicas)",
                      it_local, 1.0 / c, m)
@@ -149,9 +154,11 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
             for c in ladder[:-1]:  # the final rung c = 1 exits annealing mode
                 it_local += 1
                 c_s = c if cfg.anneal_scale else 1.0
+                # annealing rungs never feed an ELBO evaluation: run lite
+                # (the first converged-phase iteration is always full)
                 st = mod.cavi_iteration_donated(data, hyper, st, gram_blocks,
                                                 c, c_s, cfg=cfg, annealed=True,
-                                                mesh=mesh)
+                                                mesh=mesh, lite=True)
                 if verbose and (it_local == 1 or it_local % 5 == 0):
                     log.info("Iteration %d (temperature %.4g)", it_local,
                              1.0 / c)
@@ -173,18 +180,25 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
 
     # ------------------------------------------------- converged CAVI phase
     diff_lb_final = math.inf
+    ckpt_rate = getattr(checkpointer, "rate", 1) if checkpointer else 0
     while not converged and it < cfg.maxit:
         lb_old = lb_new
         it += 1
+        # gam/mu freshness is only needed when this iteration's result feeds
+        # an ELBO evaluation, a checkpoint save, or the final output; all
+        # other iterations run "lite" (the fused sweep carries beta only)
+        will_eval = (it <= it_init + 1 or it % batch_conv == 0
+                     or it % batch_conv == 1)
+        need_full = (will_eval or it >= cfg.maxit
+                     or (ckpt_rate and it % ckpt_rate == 0))
         state = mod.cavi_iteration_donated(data, hyper, state, gram_blocks,
                                            1.0, 1.0, cfg=cfg, annealed=False,
-                                           mesh=mesh)
+                                           mesh=mesh, lite=not need_full)
 
         if tracer is not None and (it == 1 or it % 25 == 0):
             tracer(it, state)
 
-        if (it <= it_init + 1 or it % batch_conv == 0
-                or it % batch_conv == 1):
+        if will_eval:
             lb_new = float(mod.compute_elbo(data, hyper, state, cfg=cfg))
             elbo_history.append((it, lb_new))
             if verbose and (it == it_init or it % max(5, batch_conv) == 0):

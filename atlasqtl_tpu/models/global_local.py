@@ -187,6 +187,7 @@ def build_state(init, data: Data, cfg: Config) -> VBState:
     return VBState(
         gam_colsum=colstats[0], mu2gam_colsum=colstats[1],
         beta2_colsum=colstats[2],
+        beta=beta if data.x_norm_sq is None else None,
         gam=jnp.asarray(gam, dt), mu_beta=jnp.asarray(mu, dt),
         sig2_beta=jnp.asarray(sig2_beta, dt), tau=jnp.asarray(tau, dt),
         sig2_inv=jnp.asarray(1e-2, dt),
@@ -267,10 +268,11 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
                         jnp.einsum("pq,pq->q", mu * mu, gam),
                         jnp.einsum("pq,pq->q", beta0, beta0))
         else:
+            beta0 = None
             colstats = (None, None, None)
         return VBState(
             gam_colsum=colstats[0], mu2gam_colsum=colstats[1],
-            beta2_colsum=colstats[2],
+            beta2_colsum=colstats[2], beta=beta0,
             gam=gam, mu_beta=mu, sig2_beta=sig2_beta_full, tau=tau,
             sig2_inv=jnp.asarray(sig2_inv0, dt), theta=theta, zeta=zeta,
             sig02_inv=sig02_inv, lam2_inv=jnp.ones(p_pad, dt),
@@ -282,11 +284,13 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
     return _draw(ks)
 
 
-def _fused_q_tile(n, q_pad):
-    """Largest response tile such that the resident F tile (n x q_tile f32)
-    stays within ~6 MB of VMEM and divides the padded q."""
-    budget = max(128, int(6e6 / (4 * n)) // 128 * 128)
-    for cand in (1024, 512, 256, 128):
+def _fused_q_tile(n, q_pad, block=128):
+    """Largest response tile such that the resident F tile plus the seven
+    (block x q_tile) scratch tiles stay within ~28 MB of VMEM (leaving room
+    for the double-buffered I/O tiles under the 100 MB kernel limit) and
+    divide the padded q."""
+    budget = max(128, int(28e6 / (4 * (n + 7 * block))) // 128 * 128)
+    for cand in (2048, 1024, 512, 256, 128):
         if cand <= budget and q_pad % cand == 0:
             return cand
     return None
@@ -351,9 +355,18 @@ def _colsum_stats(data: Data, state: VBState, use_cached: bool = True):
 
 def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                          gram_blocks, c, c_s, *, cfg: Config,
-                         annealed: bool, mesh=None) -> VBState:
+                         annealed: bool, mesh=None,
+                         lite: bool = False) -> VBState:
     """One CAVI iteration, update ordering identical to the reference loop
-    (R/atlasqtl_global_local_core.R:125-338)."""
+    (R/atlasqtl_global_local_core.R:125-338).
+
+    lite=True (fused engine only): the sweep reads/writes the carried
+    beta = gam * mu_beta array and does NOT emit fresh gam/mu matrices —
+    2 x 4 GB/iter less HBM traffic at bench shape.  The returned state's
+    gam/mu_beta are the (stale) inputs; every downstream per-iteration
+    update consumes only beta / the fused column statistics, so the math
+    is bitwise identical.  The driver schedules full iterations whenever
+    gam/mu freshness is needed (ELBO, checkpoint, final output)."""
     dt = cfg.dtype
     c = jnp.asarray(c, dt)
     c_s = jnp.asarray(c_s, dt)
@@ -407,34 +420,39 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     consts = SweepConsts(sig2_beta=sig2_beta, tau=tau, log_tau=log_tau,
                          log_sig2_inv=log_sig2_inv, theta=state.theta,
                          zeta=state.zeta, c=c)
+    beta_new = None
     if data.x_norm_sq is None:
         block = gram_blocks.shape[1]
         colstats = None
+        beta_carry = state.beta if state.beta is not None else beta
         if mesh is not None and cfg.p_axis is not None:
             # 2-D (p x q) mesh: pipelined exact sweep (q-tiles flow through
             # the p-stages; see parallel/pipeline.py)
             from ..parallel.pipeline import pipelined_sweep_2d
-            (gam_new, mu_new, fitted, z_row, z_col,
+            (beta_new, gam_new, mu_new, fitted, z_row, z_col,
              colstats) = pipelined_sweep_2d(mesh, cfg, data, state,
-                                            gram_blocks, cp_x_y, consts,
-                                            block)
+                                            beta_carry, gram_blocks, cp_x_y,
+                                            consts, block,
+                                            emit_gam_mu=not lite,
+                                            annealed=annealed)
         elif (impl := _select_sweep(cfg, data, mesh)) == "fused":
             from ..ops.sweep_fused import sweep_complete_fused
             n = data.x.shape[0]
             if mesh is not None:
-                (gam_new, mu_new, fitted, z_row, z_col,
+                (beta_new, gam_new, mu_new, fitted, z_row, z_col,
                  colstats) = _sharded_fused_sweep(
-                    mesh, cfg, data, state, gram_blocks, cp_x_y, consts,
-                    block)
+                    mesh, cfg, data, state, beta_carry, gram_blocks, cp_x_y,
+                    consts, block, emit_gam_mu=not lite, annealed=annealed)
             else:
                 q_tile = _fused_q_tile(n, data.y.shape[1])
-                (gam_new, mu_new, fitted, z_row, z_col,
+                (beta_new, gam_new, mu_new, fitted, z_row, z_col,
                  colstats) = sweep_complete_fused(
-                    data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
+                    data.x, cp_x_y, gram_blocks, beta_carry,
                     state.fitted, consts, block,
                     p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile,
-                    sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16)
-            # the kernel masks gam/mu at write time
+                    sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16,
+                    emit_gam_mu=not lite, annealed=annealed)
+            # the kernel masks beta/gam/mu at write time
         else:
             if impl == "pallas":
                 from ..ops.sweep_pallas import sweep_complete_pallas
@@ -449,6 +467,7 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                     p_mask=data.p_mask, q_mask=data.q_mask)
             gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
             mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+            beta_new = gam_new * mu_new
     else:
         colstats = None
         if data.mis_pair_gram is not None:
@@ -473,7 +492,6 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     if colstats is None and data.x_norm_sq is None:
         # non-fused complete-data engines: accumulate the same column stats
         # here (same einsum cost the next iteration used to pay)
-        beta_new = gam_new * mu_new
         colstats = (jnp.sum(gam_new, axis=0),
                     jnp.einsum("pq,pq->q", mu_new * mu_new, gam_new),
                     jnp.einsum("pq,pq->q", beta_new, beta_new))
@@ -505,8 +523,11 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     zeta = upd.zeta_update(z_col, theta_sum, hyper.n0, sig2_zeta,
                            1.0 / hyper.t02, c) * data.q_mask
 
+    if gam_new is None:  # lite fused iteration: gam/mu stay (stale) as-is
+        gam_new, mu_new = state.gam, state.mu_beta
     return VBState(
-        gam=gam_new, mu_beta=mu_new, sig2_beta=sig2_beta, tau=tau,
+        gam=gam_new, mu_beta=mu_new, beta=beta_new,
+        sig2_beta=sig2_beta, tau=tau,
         sig2_inv=sig2_inv, theta=theta, zeta=zeta, sig02_inv=sig02_inv,
         lam2_inv=lam2_inv, sig2_theta=sig2_theta, fitted=fitted,
         gam_colsum=None if colstats is None else colstats[0],
@@ -517,8 +538,9 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     )
 
 
-def _sharded_fused_sweep(mesh, cfg, data, state, gram_blocks, cp_x_y,
-                         consts, block):
+def _sharded_fused_sweep(mesh, cfg, data, state, beta_carry, gram_blocks,
+                         cp_x_y, consts, block, emit_gam_mu=True,
+                         annealed=False):
     """shard_map wrapper running the fused kernel per q-shard; the only
     cross-shard communication is the psum of the Z row-sums."""
     from jax.sharding import PartitionSpec as P
@@ -529,41 +551,48 @@ def _sharded_fused_sweep(mesh, cfg, data, state, gram_blocks, cp_x_y,
     q_local = data.y.shape[1] // n_dev
     q_tile = _fused_q_tile(data.x.shape[0], q_local)
 
-    def local(x, cp, gam, mu, fitted, s2, tau, logtau, zeta, theta, pmask,
+    def local(x, cp, beta, fitted, s2, tau, logtau, zeta, theta, pmask,
               qmask, c, log_sig2_inv, gb):
         consts_l = SweepConsts(sig2_beta=s2, tau=tau, log_tau=logtau,
                                log_sig2_inv=log_sig2_inv, theta=theta,
                                zeta=zeta, c=c)
-        g, m, f, zr, zc, cs = sweep_complete_fused(
-            x, cp, gb, gam, mu, fitted, consts_l, block,
+        b, g, m, f, zr, zc, cs = sweep_complete_fused(
+            x, cp, gb, beta, fitted, consts_l, block,
             p_mask=pmask, q_mask=qmask, q_tile=q_tile,
-            sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16)
+            sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16,
+            emit_gam_mu=emit_gam_mu, annealed=annealed)
         zr = jax.lax.psum(zr, qax)
-        return g, m, f, zr, zc, cs[0], cs[1], cs[2]
+        if not emit_gam_mu:  # shard_map needs arrays, not None
+            g = m = jnp.zeros((1, zc.shape[0]), b.dtype)
+        return b, g, m, f, zr, zc, cs[0], cs[1], cs[2]
 
     qs = P(None, qax)
     out = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), qs, qs, qs, qs, P(qax), P(qax), P(qax), P(qax), P(),
+        in_specs=(P(), qs, qs, qs, P(qax), P(qax), P(qax), P(qax), P(),
                   P(), P(qax), P(), P(), P()),
-        out_specs=(qs, qs, qs, P(), P(qax), P(qax), P(qax), P(qax)),
+        out_specs=(qs, qs, qs, qs, P(), P(qax), P(qax), P(qax), P(qax)),
         check_vma=False,  # pallas_call outputs carry no vma annotations
-    )(data.x, cp_x_y, state.gam, state.mu_beta, state.fitted,
+    )(data.x, cp_x_y, beta_carry, state.fitted,
       consts.sig2_beta, consts.tau, consts.log_tau, consts.zeta,
       consts.theta, data.p_mask, data.q_mask, consts.c, consts.log_sig2_inv,
       gram_blocks)
-    g, m, f, zr, zc, gcol, m2gcol, b2col = out
-    return g, m, f, zr, zc, (gcol, m2gcol, b2col)
+    b, g, m, f, zr, zc, gcol, m2gcol, b2col = out
+    if not emit_gam_mu:
+        g = m = None
+    return b, g, m, f, zr, zc, (gcol, m2gcol, b2col)
 
 
 # Safe variant (callers may keep using the input state, e.g. tests).
-cavi_iteration = partial(jax.jit, static_argnames=("cfg", "annealed", "mesh"))(
+cavi_iteration = partial(jax.jit, static_argnames=("cfg", "annealed", "mesh",
+                                                   "lite"))(
     _cavi_iteration_impl)
 
 # Buffer-donating variant for the fit loop: the input state's large arrays
 # are reused for the output, halving peak HBM in steady state.
 cavi_iteration_donated = jax.jit(_cavi_iteration_impl,
-                                 static_argnames=("cfg", "annealed", "mesh"),
+                                 static_argnames=("cfg", "annealed", "mesh",
+                                                  "lite"),
                                  donate_argnames=("state",))
 
 

@@ -32,10 +32,11 @@ RHO_S0 = 0.5
 
 def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
                     c, c_s, *, cfg: Config, annealed: bool,
-                    mesh=None) -> VBState:
+                    mesh=None, lite: bool = False) -> VBState:
     """One CAVI iteration of the global-only model
     (R/atlasqtl_global_core.R:117-271)."""
     del annealed  # no special-function branch in this variant
+    del lite      # the global-only engines always emit fresh gam/mu
     dt = cfg.dtype
     c = jnp.asarray(c, dt)
     c_s = jnp.asarray(c_s, dt)
@@ -117,10 +118,11 @@ def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
 
 
 cavi_iteration = partial(jax.jit,
-                         static_argnames=("cfg", "annealed", "mesh"))(
+                         static_argnames=("cfg", "annealed", "mesh", "lite"))(
     _iteration_impl)
 cavi_iteration_donated = jax.jit(_iteration_impl,
-                                 static_argnames=("cfg", "annealed", "mesh"),
+                                 static_argnames=("cfg", "annealed", "mesh",
+                                                  "lite"),
                                  donate_argnames=("state",))
 
 

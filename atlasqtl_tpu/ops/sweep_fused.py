@@ -1,44 +1,45 @@
 """Fully-fused Pallas sweep: the entire Gauss-Seidel pass in one kernel.
 
-Third-generation TPU design of the reference's C++ hot loop
+Fourth-generation TPU design of the reference's C++ hot loop
 (src/coreLoop.cpp:38-86).  Relative to the hybrid XLA+Pallas sweep
 (ops/sweep_pallas.py) this kernel:
 
 - inverts the loop nest — grid (response-tiles OUTER, predictor-blocks
   INNER) — so the fitted matrix F = X beta lives in VMEM scratch across all
   predictor blocks and touches HBM exactly twice per iteration instead of
-  once per block (the dominant HBM traffic at production shapes);
+  once per block;
+- carries the single (p, q) array beta = gam * mu_beta between iterations
+  instead of the (gam, mu_beta) pair: the sequential chain only ever needs
+  the product (beta_old), so steady-state iterations read beta and write
+  beta — 2 x 4 GB/iter less HBM traffic at the eQTL bench shape.  The full
+  gam/mu matrices are emitted (``emit_gam_mu=True``) only on iterations
+  whose results feed an ELBO evaluation, a checkpoint, or the final output
+  (the driver schedules those);
 - computes the probit log-Phi tails in-kernel with the fast erfcx form
-  (ops/special.py:log_ndtr_both_fast), removing the O(pq) XLA
-  pre-materialization of two log-Phi matrices;
-- accumulates the Z-moment reductions (rowSums/colSums of the truncated
-  normal posterior means, reference R/update_vb.R:217-234) in-kernel right
-  after each block's coordinate updates, removing the separate O(pq) XLA
-  pass;
-- applies the padding masks to gam/mu at write time and accumulates the
-  three column statistics the next iteration needs (colsum gam,
-  colsum mu^2 gam, colsum (gam mu)^2 — feeding the nu/rho/eta/kappa updates,
-  reference R/atlasqtl_global_local_core.R:134-145) while the tiles are
-  still in VMEM, removing ~8 GB/iteration of XLA mask/einsum passes over
-  the p x q state at the eQTL bench shape;
-- runs the strictly-sequential within-block updates sub-blocked: the S-row
-  window is fully unrolled (static indices) and each coordinate *lazily*
-  gathers the rank-1 corrections of its in-window predecessors (triangular:
-  i scalar-broadcast FMAs for coordinate i, no window-wide writes), then the
-  corrections propagate to the remaining rows once per sub-block as a rank-S
-  MXU update.  Update order — and the math — equals the reference's flat
-  k-major Gauss-Seidel exactly;
-- optionally (``mxu_bf16=True``) runs the two large MXU contractions
-  (residual projection x_b^T F_t and the F_t advance) with bfloat16 inputs
-  and float32 accumulation — ~3x MXU throughput on v5e.  Gated by the ELBO
-  monotonicity guard: the tempered coordinate updates remain ascent steps
-  under the ~2^-9 relative input rounding at annealing scales; validated
-  empirically (tests/test_e2e.py) before being the f32 default.
+  (ops/special.py:log_ndtr_both_fast) and pre-folds the whole inclusion-
+  logit constant c * (log Phi - log(1-Phi) - log(tau sig2_inv s2)/2) into
+  one scratch tile, so the per-coordinate logit is a single FMA + sigmoid;
+- accumulates the Z-moment reductions (reference R/update_vb.R:217-234)
+  and the three column statistics feeding the next iteration's
+  nu/rho/eta/kappa updates in-kernel while the tiles are in VMEM.  In the
+  non-annealed phase (c == 1) the Z pass reuses the chain's log-Phi tails
+  instead of recomputing them at sqrt(c) * u;
+- runs the strictly-sequential within-block updates sub-blocked with
+  *left-looking* deferred corrections: before window s, ONE deep MXU
+  contraction (sub x (s*sub)) @ ((s*sub) x q_tile) applies every previous
+  window's rank updates (deep-K matmuls stream only `sub` rows — ~3.5x
+  fewer MXU row-streams than the right-looking rank-S trailing update);
+  within the window each coordinate lazily gathers its predecessors'
+  corrections (i scalar-broadcast FMAs).  Update order — and the math —
+  equals the reference's flat k-major Gauss-Seidel exactly;
+- optionally (``mxu_bf16=True``) runs the two large MXU contractions with
+  bfloat16 inputs and float32 accumulation.  The sequential-chain
+  corrections (left-looking dots and in-window gathers) always stay f32.
 
 Per grid step (t, b):
   r0    = x_b^T F_t                  (MXU)
-  inner sub-blocked Gauss-Seidel     (VPU + rank-S MXU)
-  z-tile reduction                   (VPU)
+  sub-blocked Gauss-Seidel           (VPU + deep left-looking MXU)
+  tile stats + Z reduction           (VPU)
   F_t  += x_b delta                  (MXU)
 """
 from __future__ import annotations
@@ -55,13 +56,17 @@ from .special import log_ndtr_both_fast
 _LOG_SQRT_2PI = 0.9189385332046727
 
 
-def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
+def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
                   s2_ref, tau_ref, logtau_ref, zeta_ref, theta_ref, pm_ref,
-                  qm_ref, f_hbm_ref, gam_out_ref, mu_out_ref, f_out_ref,
+                  qm_ref, f_hbm_ref,
+                  # outputs
+                  beta_out_ref, gam_out_ref, mu_out_ref, f_out_ref,
                   zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
-                  f_scr, r_scr, delta_scr, zrow_scr,
-                  logp_scr, log1p_scr, dma_sem, *, nb: int, qtiles: int,
-                  sub: int, mxu_bf16: bool, probe: str = "none"):
+                  # scratch
+                  f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
+                  ad_scr, logp_scr, log1p_scr, dma_sem,
+                  *, nb: int, qtiles: int, sub: int, mxu_bf16: bool,
+                  emit: bool, annealed: bool, probe: str = "none"):
     t = pl.program_id(0)
     b = pl.program_id(1)
     qt = r_scr.shape[1]
@@ -77,24 +82,28 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
 
     s2 = s2_ref[0, :]
     ct = c * s2 * tau_ref[0, :]
+    # cst = -log(tau sig2_inv s2)/2, the constant part of the logit
     cst = -(logtau_ref[0, :] + log_sig2_inv + jnp.log(s2)) / 2.0
-    inv_2s2 = 0.5 / s2
+    c_inv_2s2 = c * 0.5 / s2
     zeta = zeta_ref[0, :]                   # (QT,)
     theta = theta_ref[0, 0, :]              # (B,)
     pm = pm_ref[0, 0, :]                    # (B,)
     qm = qm_ref[0, :]                       # (QT,)
 
     u = theta[:, None] + zeta[None, :]      # (B, QT)
-    # materialize the log-Phi tails in scratch: the sequential loop below
-    # reads them row-by-row with a dynamic index, which Mosaic only supports
-    # through a ref
-    if probe != "jacobi_min":
+    # log-Phi tails for this block's (theta + zeta); the sequential loop
+    # reads the folded logit constant row-by-row with a dynamic index,
+    # which Mosaic only supports through a ref.  gam = sigmoid(ad + mu^2 *
+    # c/(2 s2)) with ad = c*(logPhi - log(1-Phi) - cst).
+    if probe not in ("jacobi_min", "nomxu"):
         lp, l1p = log_ndtr_both_fast(u)
         logp_scr[:, :] = lp
         log1p_scr[:, :] = l1p
+        ad_scr[:, :] = c * ((lp - l1p) - cst[None, :])
     else:  # PERF PROBE: skip the log-Phi tails (wrong math)
         logp_scr[:, :] = u
         log1p_scr[:, :] = -u
+        ad_scr[:, :] = u
 
     # ---- fetch the F tile into VMEM at the first predictor block ----
     @pl.when(b == 0)
@@ -105,7 +114,9 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
         dma.wait()
 
     # ---- residual projections for this block (MXU) ----
-    if mxu_bf16:
+    if probe == "nomxu":  # PERF PROBE: no projections (wrong math)
+        r_scr[:, :] = cp_ref[:, :]
+    elif mxu_bf16:
         r_scr[:, :] = jax.lax.dot_general(
             x_ref[:, :].astype(jnp.bfloat16),
             f_scr[:, :].astype(jnp.bfloat16),
@@ -117,51 +128,57 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=r_scr.dtype)
 
-    # ---- sub-blocked sequential Gauss-Seidel (unrolled, lazy triangular) --
-    # Coordinate i gathers the corrections of its in-window predecessors
-    # (i scalar-broadcast FMAs, registers only) instead of eagerly writing
-    # the whole S-row window per coordinate: ~2x less VPU work + no VMEM
-    # window write traffic, identical update order and math.
-    if probe in ("jacobi", "jacobi_min"):
+    # ---- sub-blocked sequential Gauss-Seidel --------------------------
+    # Left-looking: one deep MXU contraction applies all previous windows'
+    # corrections to this window; coordinate i then gathers only its
+    # in-window predecessors (i scalar-broadcast FMAs, registers only).
+    # Identical update order and math to the reference's flat sweep.
+    if probe in ("jacobi", "jacobi_min", "nomxu"):
         # PERF PROBE ONLY (wrong math): full-tile Jacobi update with no
         # sequential corrections — measures the kernel's floor without the
         # per-row chain.  Never selected by production code.
-        beta_old_blk = gam_in_ref[:, :] * mu_in_ref[:, :]
+        beta_old_blk = beta_ref[:, :]
         r_adj = r_scr[:, :] - beta_old_blk * d_diag
         mu_blk = ct[None, :] * (cp_ref[:, :] - r_adj)
-        logit_blk = c * (log1p_scr[:, :] - logp_scr[:, :]
-                         - mu_blk * mu_blk * inv_2s2[None, :]
-                         + cst[None, :])
-        gam_blk = jax.nn.sigmoid(-logit_blk)
+        gam_blk = jax.nn.sigmoid(ad_scr[:, :]
+                                 + mu_blk * mu_blk * c_inv_2s2[None, :])
         delta_scr[:, :] = gam_blk * mu_blk - beta_old_blk
-        gam_out_ref[:, :] = gam_blk
-        mu_out_ref[:, :] = mu_blk
-    n_sub = bsz // sub if probe in ("none", "exact_noz") else 0
+        gam_scr[:, :] = gam_blk
+        mu_scr[:, :] = mu_blk
+    n_sub = (bsz // sub
+             if probe in ("none", "exact_noz", "noseq", "nosig", "norank")
+             else 0)
     for s in range(n_sub):
         lo = s * sub
+        if lo > 0 and probe != "norank":
+            # deferred corrections from every previous window (deep MXU)
+            corr = jax.lax.dot_general(
+                g_ref[lo:lo + sub, 0:lo], delta_scr[0:lo, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=r_scr.dtype)
+            r_scr[lo:lo + sub, :] = r_scr[lo:lo + sub, :] + corr
         for i in range(sub):
             row = lo + i
-            beta_old = gam_in_ref[row, :] * mu_in_ref[row, :]
+            beta_old = beta_ref[row, :]
             r_i = r_scr[row, :]
-            for j in range(i):
-                r_i = r_i + g_ref[row, lo + j] * delta_scr[lo + j, :]
+            if probe != "noseq":  # "noseq" PERF PROBE: no in-window gathers
+                for j in range(i):
+                    r_i = r_i + g_ref[row, lo + j] * delta_scr[lo + j, :]
             r_i = r_i - beta_old * d_diag
             mu_new = ct * (cp_ref[row, :] - r_i)
-            logit = c * (log1p_scr[row, :] - logp_scr[row, :]
-                         - mu_new * mu_new * inv_2s2 + cst)
-            gam_new = jax.nn.sigmoid(-logit)
+            logit = ad_scr[row, :] + mu_new * mu_new * c_inv_2s2
+            if probe == "nosig":  # PERF PROBE: no transcendental (wrong)
+                gam_new = jnp.clip(logit, 0.0, 1.0)
+            else:
+                gam_new = jax.nn.sigmoid(logit)
             delta_scr[row, :] = gam_new * mu_new - beta_old
-            gam_out_ref[row, :] = gam_new
-            mu_out_ref[row, :] = mu_new
-
-        if lo + sub < bsz:
-            g_rest = g_ref[lo + sub:, lo:lo + sub]
-            r_scr[lo + sub:, :] = r_scr[lo + sub:, :] + jnp.dot(
-                g_rest, delta_scr[lo:lo + sub, :],
-                preferred_element_type=r_scr.dtype)
+            gam_scr[row, :] = gam_new
+            mu_scr[row, :] = mu_new
 
     # ---- advance the resident F tile (MXU) ----
-    if mxu_bf16:
+    if probe == "nomxu":  # PERF PROBE: no F advance (wrong math)
+        pass
+    elif mxu_bf16:
         f_scr[:, :] = f_scr[:, :] + jax.lax.dot_general(
             x_ref[:, :].astype(jnp.bfloat16),
             delta_scr[:, :].astype(jnp.bfloat16),
@@ -175,11 +192,13 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
 
     # ---- mask at write time + fused column statistics ----
     msk = pm[:, None] * qm[None, :]
-    gam_m = gam_out_ref[:, :] * msk
-    mu_m = mu_out_ref[:, :] * msk
-    gam_out_ref[:, :] = gam_m
-    mu_out_ref[:, :] = mu_m
+    gam_m = gam_scr[:, :] * msk
+    mu_m = mu_scr[:, :] * msk
     beta_m = gam_m * mu_m
+    beta_out_ref[:, :] = beta_m
+    if emit:
+        gam_out_ref[:, :] = gam_m
+        mu_out_ref[:, :] = mu_m
     gcol = jnp.sum(gam_m, axis=0)                    # (QT,)
     m2gcol = jnp.sum(mu_m * mu_m * gam_m, axis=0)
     b2col = jnp.sum(beta_m * beta_m, axis=0)
@@ -197,9 +216,10 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
         b2col_ref[0, :] = b2col_ref[0, :] + b2col
 
     # ---- Z-moment tile reduction (reference: R/update_vb.R:217-234) ----
-    if probe in ("exact_noz", "jacobi_min"):
+    if probe in ("exact_noz", "jacobi_min", "nomxu", "noseq", "nosig",
+                 "norank"):
         z = gam_m  # PERF PROBE: skip the Z transcendentals (wrong math)
-    else:
+    elif annealed:
         uc = sqrt_c * u
         log_p_c, log_1p_c = log_ndtr_both_fast(uc)
         pdf_term = -0.5 * uc * uc - _LOG_SQRT_2PI
@@ -207,6 +227,12 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
         imr0 = jnp.minimum(-jnp.exp(pdf_term - log_1p_c), -uc)
         z = ((gam_m * (imr1 - imr0) + imr0) / sqrt_c + u)
         z = z * msk
+    else:
+        # c == 1: reuse the chain's log-Phi tails (uc == u, sqrt_c == 1)
+        pdf_term = -0.5 * u * u - _LOG_SQRT_2PI
+        imr1 = jnp.maximum(jnp.exp(pdf_term - logp_scr[:, :]), -u)
+        imr0 = jnp.minimum(-jnp.exp(pdf_term - log1p_scr[:, :]), -u)
+        z = (gam_m * (imr1 - imr0) + imr0 + u) * msk
 
     zr = jnp.sum(z, axis=1)                 # (B,)
     zc = jnp.sum(z, axis=0)                 # (QT,)
@@ -243,24 +269,27 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, gam_in_ref, mu_in_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "q_tile", "sub",
-                                    "mxu_bf16", "probe"))
-def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
+                                    "mxu_bf16", "emit_gam_mu", "annealed",
+                                    "probe"))
+def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
                 zeta, q_mask, sig2_beta, tau, log_tau, c, log_sig2_inv,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
-                mxu_bf16: bool = False, probe: str = "none"):
-    """One full Gauss-Seidel sweep (+ fused Z reductions) as a single
+                mxu_bf16: bool = False, emit_gam_mu: bool = True,
+                annealed: bool = False, probe: str = "none"):
+    """One full Gauss-Seidel sweep (+ fused Z/column reductions) as a single
     pallas_call.
 
-    x: (n, p); cp_x_y/gam/mu_beta: (p, q); fitted: (n, q);
+    x: (n, p); cp_x_y/beta: (p, q); fitted: (n, q);
     gram_flat: (p, B) stacked diagonal Gram blocks;
     theta8/pm8: (nb, 8, B) sublane-padded per-block theta / predictor mask.
-    Returns (gam', mu', fitted', z_row (p,), z_col (q,)).
+    Returns (beta', gam'|None, mu'|None, fitted', z_row (p,), z_col (q,),
+    (colsum gam, colsum mu^2 gam, colsum beta^2)).
     """
     n, p = x.shape
-    q = gam.shape[1]
+    q = beta.shape[1]
     nb = p // block_size
     qtiles = q // q_tile
-    dt = gam.dtype
+    dt = beta.dtype
     sub = min(sub, block_size)
     assert block_size % sub == 0, (block_size, sub)
     interpret = jax.devices()[0].platform == "cpu"
@@ -276,9 +305,22 @@ def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
     bvec = lambda: pl.BlockSpec((1, 8, block_size), lambda t, b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+    if emit_gam_mu:
+        gm_specs = [tile(), tile()]
+        gm_shapes = [jax.ShapeDtypeStruct((p, q), dt),
+                     jax.ShapeDtypeStruct((p, q), dt)]
+    else:
+        # vestigial 1-block outputs (Mosaic requires a ref; never written)
+        gm_specs = [pl.BlockSpec((block_size, q_tile), lambda t, b: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(2)]
+        gm_shapes = [jax.ShapeDtypeStruct((block_size, q_tile), dt)
+                     for _ in range(2)]
+
     out = pl.pallas_call(
         functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub,
-                          mxu_bf16=mxu_bf16, probe=probe),
+                          mxu_bf16=mxu_bf16, emit=emit_gam_mu,
+                          annealed=annealed, probe=probe),
         grid=(qtiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
@@ -286,23 +328,23 @@ def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
                          memory_space=pltpu.VMEM),                    # x
             pl.BlockSpec((block_size, block_size), lambda t, b: (b, 0),
                          memory_space=pltpu.VMEM),                    # gram
-            tile(), tile(), tile(),                  # cp, gam, mu
+            tile(), tile(),                          # cp, beta
             vec(), vec(), vec(), vec(),              # s2, tau, logtau, zeta
             bvec(), bvec(),                          # theta8, pm8
             vec(),                                   # q_mask
             pl.BlockSpec(memory_space=pl.ANY),       # fitted (HBM)
         ],
-        out_specs=(tile(), tile(),
+        out_specs=(tile(), *gm_specs,
                    pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec((1, p), lambda t, b: (0, 0),
                                 memory_space=pltpu.VMEM),
                    vec(), vec(), vec(), vec()),
         out_shape=(
-            jax.ShapeDtypeStruct((p, q), dt),
-            jax.ShapeDtypeStruct((p, q), dt),
-            jax.ShapeDtypeStruct((n, q), dt),
-            jax.ShapeDtypeStruct((1, p), dt),
-            jax.ShapeDtypeStruct((1, q), dt),
+            jax.ShapeDtypeStruct((p, q), dt),        # beta'
+            *gm_shapes,                              # gam', mu'
+            jax.ShapeDtypeStruct((n, q), dt),        # fitted'
+            jax.ShapeDtypeStruct((1, p), dt),        # z_row
+            jax.ShapeDtypeStruct((1, q), dt),        # z_col
             jax.ShapeDtypeStruct((1, q), dt),
             jax.ShapeDtypeStruct((1, q), dt),
             jax.ShapeDtypeStruct((1, q), dt),
@@ -311,47 +353,56 @@ def sweep_fused(x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8,
             pltpu.VMEM((n, q_tile), dt),            # F tile
             pltpu.VMEM((block_size, q_tile), dt),   # residual projections
             pltpu.VMEM((block_size, q_tile), dt),   # delta
+            pltpu.VMEM((block_size, q_tile), dt),   # gam values
+            pltpu.VMEM((block_size, q_tile), dt),   # mu values
             pltpu.VMEM((1, p), dt),                 # z_row accumulator
+            pltpu.VMEM((block_size, q_tile), dt),   # folded logit constant
             pltpu.VMEM((block_size, q_tile), dt),   # log Phi
             pltpu.VMEM((block_size, q_tile), dt),   # log (1-Phi)
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={4: 0, 5: 1, 13: 2},   # gam/mu/fitted in place
+        input_output_aliases={4: 0, 12: 3},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the bf16 staging copies of the F tile / x block push the
             # scoped-vmem stack past the 16 MB default
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, x, gram_flat, cp_x_y, gam, mu_beta,
+    )(scal, x, gram_flat, cp_x_y, beta,
       sig2_beta[None, :], tau[None, :], log_tau[None, :], zeta[None, :],
       theta8, pm8, q_mask[None, :], fitted)
-    gam_out, mu_out, f_out, zrow, zcol, gcol, m2gcol, b2col = out
-    return (gam_out, mu_out, f_out, zrow[0], zcol[0],
+    beta_out, gam_out, mu_out, f_out, zrow, zcol, gcol, m2gcol, b2col = out
+    if emit_gam_mu:
+        gam_out_r, mu_out_r = gam_out, mu_out
+    else:
+        gam_out_r = mu_out_r = None  # vestigial buffers, never written
+    return (beta_out, gam_out_r, mu_out_r, f_out, zrow[0], zcol[0],
             (gcol[0], m2gcol[0], b2col[0]))
 
 
-def sweep_complete_fused(x, cp_x_y, gram_blocks, gam, mu_beta, fitted,
+def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
                          consts, block_size, p_mask=None, q_mask=None,
                          q_tile: int = 1024, sub: int = 16,
-                         mxu_bf16: bool = False, probe: str = "none"):
-    """Driver-facing wrapper matching ops/sweep.py:sweep_complete."""
+                         mxu_bf16: bool = False, emit_gam_mu: bool = True,
+                         annealed: bool = False, probe: str = "none"):
+    """Driver-facing wrapper matching ops/sweep.py:sweep_complete, carrying
+    beta = gam * mu_beta (see module docstring)."""
     n, p = x.shape
-    q = gam.shape[1]
+    q = beta.shape[1]
     nb = p // block_size
     gram_flat = gram_blocks.reshape(nb * block_size, block_size)
     if p_mask is None:
-        p_mask = jnp.ones((p,), gam.dtype)
+        p_mask = jnp.ones((p,), beta.dtype)
     if q_mask is None:
-        q_mask = jnp.ones((q,), gam.dtype)
+        q_mask = jnp.ones((q,), beta.dtype)
     theta8 = jnp.broadcast_to(
         consts.theta.reshape(nb, 1, block_size), (nb, 8, block_size))
     pm8 = jnp.broadcast_to(
         p_mask.reshape(nb, 1, block_size), (nb, 8, block_size))
 
-    gam_out, mu_out, f_out, z_row, z_col, colstats = sweep_fused(
-        x, cp_x_y, gram_flat, gam, mu_beta, fitted, theta8, pm8, consts.zeta,
+    return sweep_fused(
+        x, cp_x_y, gram_flat, beta, fitted, theta8, pm8, consts.zeta,
         q_mask, consts.sig2_beta, consts.tau, consts.log_tau, consts.c,
         consts.log_sig2_inv, block_size=block_size, q_tile=q_tile, sub=sub,
-        mxu_bf16=mxu_bf16, probe=probe)
-    return gam_out, mu_out, f_out, z_row, z_col, colstats
+        mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu, annealed=annealed,
+        probe=probe)

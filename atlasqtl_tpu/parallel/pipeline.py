@@ -68,22 +68,28 @@ def _tile_sweep_xla(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
 
 
 def _tile_sweep_fused(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
-                      pm_l, qm_t, *, q_tile, sub, mxu_bf16):
+                      pm_l, qm_t, *, q_tile, sub, mxu_bf16, annealed):
     """One-tile processor via the fused Pallas kernel (qtiles = 1)."""
     from ..ops.sweep_fused import sweep_complete_fused
     gram_blocks = gram_l
-    gam_n, mu_n, f_n, zr, zc, (gcol, m2g, b2) = sweep_complete_fused(
-        x_l, cp_t, gram_blocks, gam_t, mu_t, f_t, consts_t, block,
-        p_mask=pm_l, q_mask=qm_t, q_tile=q_tile, sub=sub, mxu_bf16=mxu_bf16)
+    beta_t = gam_t * mu_t  # the fused kernel carries the product
+    _b, gam_n, mu_n, f_n, zr, zc, (gcol, m2g, b2) = sweep_complete_fused(
+        x_l, cp_t, gram_blocks, beta_t, f_t, consts_t, block,
+        p_mask=pm_l, q_mask=qm_t, q_tile=q_tile, sub=sub, mxu_bf16=mxu_bf16,
+        emit_gam_mu=True, annealed=annealed)
     return gam_n, mu_n, f_n, zr, zc, gcol, m2g, b2
 
 
-def pipelined_sweep_2d(mesh, cfg, data, state, gram_blocks, cp_x_y, consts,
-                       block):
+def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
+                       cp_x_y, consts, block, emit_gam_mu=True,
+                       annealed=False):
     """shard_map wrapper: run the exact sweep over a ("p", "q") mesh.
 
-    Returns (gam, mu, fitted, z_row, z_col, (gcol, m2gcol, b2col)) with the
-    same global values as the single-device sweep.
+    Returns (beta, gam, mu, fitted, z_row, z_col, (gcol, m2gcol, b2col))
+    with the same global values as the single-device sweep.  The pipeline
+    always emits fresh gam/mu (emit_gam_mu is accepted for interface parity
+    with the single-device fused path; the pod-scale lite variant is a
+    future optimization).
     """
     pax, qax = cfg.p_axis, cfg.q_axis
     P_sh = mesh.shape[pax]
@@ -99,7 +105,7 @@ def pipelined_sweep_2d(mesh, cfg, data, state, gram_blocks, cp_x_y, consts,
 
     if use_fused:
         tile_fn = partial(_tile_sweep_fused, q_tile=qt, sub=cfg.sweep_sub,
-                          mxu_bf16=cfg.mxu_bf16)
+                          mxu_bf16=cfg.mxu_bf16, annealed=annealed)
     else:
         tile_fn = _tile_sweep_xla
 
@@ -173,19 +179,19 @@ def pipelined_sweep_2d(mesh, cfg, data, state, gram_blocks, cp_x_y, consts,
         gcol = jax.lax.psum(gcol, pax)
         m2g = jax.lax.psum(m2g, pax)
         b2 = jax.lax.psum(b2, pax)
-        return gam_l, mu_l, fitted, zrow, zcol, gcol, m2g, b2
+        return gam_l, mu_l, gam_l * mu_l, fitted, zrow, zcol, gcol, m2g, b2
 
     pq = P(pax, qax)
     out = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, pax), pq, pq, pq, P(None, qax), P(pax), P(pax),
                   P(pax), P(qax), P(qax), P(qax), P(qax), P(qax), P(), P()),
-        out_specs=(pq, pq, P(None, qax), P(pax), P(qax), P(qax), P(qax),
+        out_specs=(pq, pq, pq, P(None, qax), P(pax), P(qax), P(qax), P(qax),
                    P(qax)),
         check_vma=False,
     )(data.x, cp_x_y, state.gam, state.mu_beta, state.fitted, gram_blocks,
       consts.theta, data.p_mask, consts.sig2_beta, consts.tau,
       consts.log_tau, consts.zeta, data.q_mask, consts.c,
       consts.log_sig2_inv)
-    gam, mu, fitted, zrow, zcol, gcol, m2g, b2 = out
-    return gam, mu, fitted, zrow, zcol, (gcol, m2g, b2)
+    gam, mu, beta, fitted, zrow, zcol, gcol, m2g, b2 = out
+    return beta, gam, mu, fitted, zrow, zcol, (gcol, m2g, b2)

@@ -87,6 +87,12 @@ class VBState:
     gam_colsum: Any = None
     mu2gam_colsum: Any = None
     beta2_colsum: Any = None
+    # carried posterior-mean effects beta = gam * mu_beta (p, q).  The fused
+    # sweep kernel reads/writes ONLY this array in steady state ("lite"
+    # iterations); gam/mu_beta are refreshed on iterations whose results
+    # feed an ELBO evaluation, a checkpoint, or the final output, so they
+    # may be stale in between.  None on engines that do not carry it.
+    beta: Any = None
 
 
 @_pytree_dataclass

@@ -53,20 +53,26 @@ def main():
                            data.y.shape[1], cfg)
     gram = jax.jit(block_gram, static_argnums=1)(data.x, cfg.block_size)
 
-    # warm-up / compile
+    # warm-up / compile (lite = the steady-state iteration: the fused sweep
+    # carries beta = gam * mu_beta and skips the gam/mu HBM writes; the
+    # driver schedules full iterations only where ELBO/checkpoint/output
+    # freshness is needed — see models/global_local.py:_cavi_iteration_impl)
     state = gl.cavi_iteration_donated(data, hyper, state, gram, 1.0, 1.0,
-                                      cfg=cfg, annealed=False)
+                                      cfg=cfg, annealed=False, lite=True)
     _ = float(jnp.sum(state.theta))  # forced readback: axon's
     # block_until_ready can return before execution completes
 
     t0 = time.time()
     for _ in range(iters):
         state = gl.cavi_iteration_donated(data, hyper, state, gram, 1.0, 1.0,
-                                          cfg=cfg, annealed=False)
+                                          cfg=cfg, annealed=False, lite=True)
     _ = float(jnp.sum(state.theta))
     dt = time.time() - t0
     iters_per_s = iters / dt
 
+    # one full iteration refreshes gam/mu for the ELBO sanity check
+    state = gl.cavi_iteration_donated(data, hyper, state, gram, 1.0, 1.0,
+                                      cfg=cfg, annealed=False, lite=False)
     lb = float(gl.compute_elbo(data, hyper, state, cfg=cfg))
     assert np.isfinite(lb), "ELBO not finite in bench run"
 

@@ -89,8 +89,9 @@ def test_sweep_selection_logic():
         cfg = Config(dtype=jnp.float32, sweep=choice)
         assert _select_sweep(cfg, FakeData(100, 256, 512)) == choice
     # tile sizing respects the VMEM budget and divisibility
-    assert _fused_q_tile(1000, 10240) == 1024
-    assert _fused_q_tile(5000, 10240) == 256
+    assert _fused_q_tile(1000, 10240) == 2048
+    assert _fused_q_tile(5000, 10240) == 1024
+    assert _fused_q_tile(50000, 10240) == 128   # F tile bound by big n
     assert _fused_q_tile(1000, 10000) is None   # no aligned divisor
 
 
@@ -136,6 +137,43 @@ def test_full_iteration_fused_matches_xla():
     assert np.all(np.asarray(s_f.gam)[p_true:, :] == 0.0)
     assert np.all(np.asarray(s_f.gam)[:, q_true:] == 0.0)
     assert np.all(np.asarray(s_f.mu_beta)[p_true:, :] == 0.0)
+
+
+def test_fused_lite_iterations_match_full():
+    """Lite (beta-carry) fused iterations are bitwise-equivalent to full
+    ones: the sweep math only ever reads beta = gam * mu_beta, so running
+    lite for k iterations and emitting gam/mu on the last must reproduce
+    the all-full trajectory exactly."""
+    y, x, _ = simulate_fixture(n=120, p=256, p_act=8, q=48, seed=11)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg = Config(dtype=jnp.float32, block_size=128,
+                 shr_fac_inv=float(q_eff), sweep="fused")
+    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=128)
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p_eff, (4, 16)),
+                           data.y.shape[1], cfg)
+    init = elic.auto_set_init(dat.y, p_eff, (4, 16), float(q_eff), 7)
+    state0 = gl.build_state(init, data, cfg)
+    gram = block_gram(data.x, 128)
+
+    s_full = s_lite = state0
+    for k in range(3):
+        s_full = gl.cavi_iteration(data, hyper, s_full, gram, 1.0, 1.0,
+                                   cfg=cfg, annealed=False, lite=False)
+        s_lite = gl.cavi_iteration(data, hyper, s_lite, gram, 1.0, 1.0,
+                                   cfg=cfg, annealed=False, lite=(k < 2))
+    for name in ("gam", "mu_beta", "beta", "theta", "zeta", "tau", "fitted"):
+        np.testing.assert_array_equal(np.asarray(getattr(s_lite, name)),
+                                      np.asarray(getattr(s_full, name)),
+                                      err_msg=name)
+    # in between, lite states carry stale gam but a fresh beta
+    s1_lite = gl.cavi_iteration(data, hyper, state0, gram, 1.0, 1.0,
+                                cfg=cfg, annealed=False, lite=True)
+    assert np.array_equal(np.asarray(s1_lite.gam), np.asarray(state0.gam))
+    s1_full = gl.cavi_iteration(data, hyper, state0, gram, 1.0, 1.0,
+                                cfg=cfg, annealed=False, lite=False)
+    np.testing.assert_array_equal(np.asarray(s1_lite.beta),
+                                  np.asarray(s1_full.beta))
 
 
 def test_fused_mxu_bf16_close_to_f32():
