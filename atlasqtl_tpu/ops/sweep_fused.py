@@ -51,12 +51,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .special import log_ndtr_both_fast
+from .special import probit_tail_stats, mills_ratios_from_stats
 
 _LOG_SQRT_2PI = 0.9189385332046727
 
 
-def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
+def _fused_kernel(scal_ref, x_ref, g_ref, gwin_ref, cp_ref, beta_ref,
                   s2_ref, tau_ref, logtau_ref, zeta_ref, theta_ref, pm_ref,
                   qm_ref, f_hbm_ref,
                   # outputs
@@ -64,7 +64,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
                   zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
                   # scratch
                   f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
-                  ad_scr, logp_scr, log1p_scr, dma_sem,
+                  ad_scr, e_scr, g_scr, dma_sem,
                   *, nb: int, qtiles: int, sub: int, mxu_bf16: bool,
                   emit: bool, annealed: bool, probe: str = "none"):
     t = pl.program_id(0)
@@ -91,18 +91,22 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
     qm = qm_ref[0, :]                       # (QT,)
 
     u = theta[:, None] + zeta[None, :]      # (B, QT)
-    # log-Phi tails for this block's (theta + zeta); the sequential loop
-    # reads the folded logit constant row-by-row with a dynamic index,
-    # which Mosaic only supports through a ref.  gam = sigmoid(ad + mu^2 *
-    # c/(2 s2)) with ad = c*(logPhi - log(1-Phi) - cst).
+    # Probit tails for this block's (theta + zeta); the sequential loop
+    # reads the folded logit constant row-by-row through a ref.
+    # gam = sigmoid(ad + mu^2 * c/(2 s2)) with
+    # ad = c*(logPhi - log(1-Phi) - cst); the logit stays in log space
+    # throughout — an odds-ratio form would need Phi(-u)/Phi(u) * exp(-m),
+    # which silently collapses to 0*inf / 1-instead-of-0 in the
+    # double-extreme corner (|u| > 13 with large mu^2/(2 s2)).  e/g feed
+    # the Z Mills ratios (ops/special.py:probit_tail_stats).
     if probe not in ("jacobi_min", "nomxu"):
-        lp, l1p = log_ndtr_both_fast(u)
-        logp_scr[:, :] = lp
-        log1p_scr[:, :] = l1p
-        ad_scr[:, :] = c * ((lp - l1p) - cst[None, :])
-    else:  # PERF PROBE: skip the log-Phi tails (wrong math)
-        logp_scr[:, :] = u
-        log1p_scr[:, :] = -u
+        e_t, g_t, d_t = probit_tail_stats(u)
+        ad_scr[:, :] = c * (d_t - cst[None, :])
+        e_scr[:, :] = e_t
+        g_scr[:, :] = g_t
+    else:  # PERF PROBE: skip the probit tails (wrong math)
+        e_scr[:, :] = u
+        g_scr[:, :] = -u
         ad_scr[:, :] = u
 
     # ---- fetch the F tile into VMEM at the first predictor block ----
@@ -146,7 +150,8 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
         gam_scr[:, :] = gam_blk
         mu_scr[:, :] = mu_blk
     n_sub = (bsz // sub
-             if probe in ("none", "exact_noz", "noseq", "nosig", "norank")
+             if probe in ("none", "exact_noz", "noseq", "nosig", "norank",
+                          "dmalite")
              else 0)
     for s in range(n_sub):
         lo = s * sub
@@ -163,7 +168,11 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
             r_i = r_scr[row, :]
             if probe != "noseq":  # "noseq" PERF PROBE: no in-window gathers
                 for j in range(i):
-                    r_i = r_i + g_ref[row, lo + j] * delta_scr[lo + j, :]
+                    # in-window Gram scalars come from SMEM (native scalar
+                    # loads; a dynamic VMEM scalar read costs a vector load
+                    # + lane extract each)
+                    r_i = r_i + (gwin_ref[0, 0, (s * sub + i) * sub + j]
+                                 * delta_scr[lo + j, :])
             r_i = r_i - beta_old * d_diag
             mu_new = ct * (cp_ref[row, :] - r_i)
             logit = ad_scr[row, :] + mu_new * mu_new * c_inv_2s2
@@ -221,17 +230,13 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
         z = gam_m  # PERF PROBE: skip the Z transcendentals (wrong math)
     elif annealed:
         uc = sqrt_c * u
-        log_p_c, log_1p_c = log_ndtr_both_fast(uc)
-        pdf_term = -0.5 * uc * uc - _LOG_SQRT_2PI
-        imr1 = jnp.maximum(jnp.exp(pdf_term - log_p_c), -uc)
-        imr0 = jnp.minimum(-jnp.exp(pdf_term - log_1p_c), -uc)
+        e_c, g_c, _ = probit_tail_stats(uc)  # d unused: DCE'd
+        imr1, imr0 = mills_ratios_from_stats(uc, e_c, g_c)
         z = ((gam_m * (imr1 - imr0) + imr0) / sqrt_c + u)
         z = z * msk
     else:
-        # c == 1: reuse the chain's log-Phi tails (uc == u, sqrt_c == 1)
-        pdf_term = -0.5 * u * u - _LOG_SQRT_2PI
-        imr1 = jnp.maximum(jnp.exp(pdf_term - logp_scr[:, :]), -u)
-        imr0 = jnp.minimum(-jnp.exp(pdf_term - log1p_scr[:, :]), -u)
+        # c == 1: reuse the chain's probit stats (uc == u, sqrt_c == 1)
+        imr1, imr0 = mills_ratios_from_stats(u, e_scr[:, :], g_scr[:, :])
         z = (gam_m * (imr1 - imr0) + imr0 + u) * msk
 
     zr = jnp.sum(z, axis=1)                 # (B,)
@@ -271,7 +276,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
                    static_argnames=("block_size", "q_tile", "sub",
                                     "mxu_bf16", "emit_gam_mu", "annealed",
                                     "probe"))
-def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
+def sweep_fused(x, cp_x_y, gram_flat, gwin, beta, fitted, theta8, pm8,
                 zeta, q_mask, sig2_beta, tau, log_tau, c, log_sig2_inv,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
                 mxu_bf16: bool = False, emit_gam_mu: bool = True,
@@ -300,6 +305,17 @@ def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
 
     tile = lambda: pl.BlockSpec((block_size, q_tile), lambda t, b: (b, t),
                                 memory_space=pltpu.VMEM)
+    # PERF PROBE "dmalite" (wrong math): pin the x/cp blocks to index 0 so
+    # their HBM streams collapse to one block — isolates how much of the
+    # kernel time is un-overlapped input DMA.
+    tile0 = lambda: pl.BlockSpec((block_size, q_tile), lambda t, b: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    xspec = (pl.BlockSpec((n, block_size), lambda t, b: (0, 0),
+                          memory_space=pltpu.VMEM)
+             if probe == "dmalite" else
+             pl.BlockSpec((n, block_size), lambda t, b: (0, b),
+                          memory_space=pltpu.VMEM))
+    cpspec = tile0() if probe == "dmalite" else tile()
     vec = lambda: pl.BlockSpec((1, q_tile), lambda t, b: (0, t),
                                memory_space=pltpu.VMEM)
     bvec = lambda: pl.BlockSpec((1, 8, block_size), lambda t, b: (b, 0, 0),
@@ -324,11 +340,12 @@ def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
         grid=(qtiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
-            pl.BlockSpec((n, block_size), lambda t, b: (0, b),
-                         memory_space=pltpu.VMEM),                    # x
+            xspec,                                                    # x
             pl.BlockSpec((block_size, block_size), lambda t, b: (b, 0),
                          memory_space=pltpu.VMEM),                    # gram
-            tile(), tile(),                          # cp, beta
+            pl.BlockSpec((1, 1, gwin.shape[2]), lambda t, b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # in-window Gram scalars
+            cpspec, tile(),                          # cp, beta
             vec(), vec(), vec(), vec(),              # s2, tau, logtau, zeta
             bvec(), bvec(),                          # theta8, pm8
             vec(),                                   # q_mask
@@ -357,18 +374,18 @@ def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
             pltpu.VMEM((block_size, q_tile), dt),   # mu values
             pltpu.VMEM((1, p), dt),                 # z_row accumulator
             pltpu.VMEM((block_size, q_tile), dt),   # folded logit constant
-            pltpu.VMEM((block_size, q_tile), dt),   # log Phi
-            pltpu.VMEM((block_size, q_tile), dt),   # log (1-Phi)
+            pltpu.VMEM((block_size, q_tile), dt),   # erfcx stat e
+            pltpu.VMEM((block_size, q_tile), dt),   # gaussian stat g
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={4: 0, 12: 3},
+        input_output_aliases={5: 0, 13: 3},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the bf16 staging copies of the F tile / x block push the
             # scoped-vmem stack past the 16 MB default
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, x, gram_flat, cp_x_y, beta,
+    )(scal, x, gram_flat, gwin, cp_x_y, beta,
       sig2_beta[None, :], tau[None, :], log_tau[None, :], zeta[None, :],
       theta8, pm8, q_mask[None, :], fitted)
     beta_out, gam_out, mu_out, f_out, zrow, zcol, gcol, m2gcol, b2col = out
@@ -399,9 +416,16 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
         consts.theta.reshape(nb, 1, block_size), (nb, 8, block_size))
     pm8 = jnp.broadcast_to(
         p_mask.reshape(nb, 1, block_size), (nb, 8, block_size))
+    # within-window Gram scalars, flattened per block for SMEM residence
+    sub_eff = min(sub, block_size)
+    n_sub = block_size // sub_eff
+    gb5 = gram_blocks.reshape(nb, n_sub, sub_eff, n_sub, sub_eff)
+    idx = jnp.arange(n_sub)
+    gwin = jnp.transpose(gb5[:, idx, :, idx, :], (1, 0, 2, 3)).reshape(
+        nb, 1, n_sub * sub_eff * sub_eff)
 
     return sweep_fused(
-        x, cp_x_y, gram_flat, beta, fitted, theta8, pm8, consts.zeta,
+        x, cp_x_y, gram_flat, gwin, beta, fitted, theta8, pm8, consts.zeta,
         q_mask, consts.sig2_beta, consts.tau, consts.log_tau, consts.c,
         consts.log_sig2_inv, block_size=block_size, q_tile=q_tile, sub=sub,
         mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu, annealed=annealed,

@@ -114,3 +114,35 @@ def test_log_ndtr_both_fast():
     assert np.isfinite(np.asarray(lo32)).all()
     np.testing.assert_allclose(np.asarray(lo32), sps.log_ndtr(x), atol=3e-5,
                                rtol=1e-5)
+
+
+def test_probit_tail_stats():
+    """The fused-kernel probit stats (one erfcx + one exp + one log per
+    element) match scipy: d = log Phi(u) - log Phi(-u), and the Mills
+    ratios match phi/Phi with the reference's -u clamps."""
+    import scipy.special as sps
+    import scipy.stats as sst
+    u = np.linspace(-12.5, 12.5, 2001)   # pre-saturation range
+    e, g, d = sp.probit_tail_stats(jnp.asarray(u, jnp.float64))
+    np.testing.assert_allclose(np.asarray(d),
+                               sps.log_ndtr(u) - sps.log_ndtr(-u),
+                               atol=4e-7, rtol=4e-7)
+    imr1, imr0 = sp.mills_ratios_from_stats(jnp.asarray(u, jnp.float64),
+                                            e, g)
+    pdf = sst.norm.pdf(u)
+    exp1 = np.maximum(pdf / sst.norm.cdf(u), -u)
+    exp0 = np.minimum(-pdf / sst.norm.cdf(-u), -u)
+    np.testing.assert_allclose(np.asarray(imr1), exp1, atol=2e-6, rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(imr0), exp0, atol=2e-6, rtol=2e-6)
+    # saturation tails: d overflows to +/-inf with the correct sign (the
+    # sigmoid consumer saturates to the exact 0/1 limit), Mills stay finite
+    ub = np.array([-40.0, 40.0])
+    e, g, d = sp.probit_tail_stats(jnp.asarray(ub, jnp.float32))
+    assert np.asarray(d)[0] == -np.inf and np.asarray(d)[1] == np.inf
+    imr1, imr0 = sp.mills_ratios_from_stats(jnp.asarray(ub, jnp.float32),
+                                            e, g)
+    # phi/Phi(-40) = 40 + 1/40 - ... asymptotically; the -u clamp is a floor
+    np.testing.assert_allclose(np.asarray(imr1), [40.02497, 0.0],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(imr0), [0.0, -40.02497],
+                               atol=1e-3)
