@@ -29,11 +29,12 @@ def permutation_null_calibration(Y, X, p0, n_perms: int = 10,
 
     rng = np.random.default_rng(seed)
     Y = np.asarray(Y, dtype=np.float64)
+    atlasqtl_kwargs.setdefault("verbose", 0)
     null_max = []
     null_pool = []
     for b in range(n_perms):
         perm = rng.permutation(Y.shape[0])
-        res = atlasqtl(Y[perm], X, p0=p0, verbose=0,
+        res = atlasqtl(Y[perm], X, p0=p0,
                        user_seed=int(rng.integers(2 ** 31)),
                        **atlasqtl_kwargs)
         null_max.append(float(res.gam_vb.max()))
