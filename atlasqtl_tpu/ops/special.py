@@ -115,6 +115,100 @@ _SQRT_2_OVER_PI = 0.7978845608028654
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+# ---------------------------------------------------------------------------
+# Polynomial-only probit fast paths for the fused sweep kernel (float32).
+#
+# The kernel needs, per (j, k) cell with u = theta_j + zeta_k:
+#   d(u)  = log Phi(u) - log Phi(-u)       (the probit inclusion logit)
+#   imr1  = pdf(u)/Phi(u), imr0 = -pdf(u)/Phi(-u)   (inverse Mills ratios)
+# These are smooth 1-D functions of u, so instead of assembling them from
+# erfcx + exp + log + div per element (probit_tail_stats), they are fitted
+# directly as Chebyshev-derived minimax polynomials evaluated by Horner in a
+# scaled variable (f32-stable).  Accuracy (f32 evaluation, validated in
+# tests/test_special.py):
+#   d: < 8e-7 absolute for |u| <= 6.5 (where sigmoid(d) is unsaturated) and
+#      < 3e-6 for 6.5 < |u| <= 40 (|logit| > 21: sigmoid saturated);
+#   imr1/imr0: < 9e-7 absolute over |u| <= 40.
+# Both clamp |u| at 40 (logit magnitude 800+; Mills ratio within 1e-7 of
+# its asymptote), so no polynomial is ever extrapolated.
+#
+# Decompositions (a = |u|):
+#   d_abs(a)  = a^2/2 + psi(a)  with  psi = log1p(-Phi(-a)) - log Phi(-a)
+#               - a^2/2 fitted on [0, 6.5] (deg 16, s = a/3.25 - 1); for
+#               a > 6.5 psi(a) = chi(a) = -log(0.5 erfcx(a/sqrt2)) to 5e-11,
+#               fitted on [6.5, 40] (deg 12).
+#   m_small(a) = pdf(a)/Phi(-a) = a + bounded correction fitted in
+#               t = 1/(1 + a/2) on [0, 40] (deg 12).
+#   m_large(a) = pdf(a)/Phi(a): Gaussian decay, fitted on [0, 6.5] (deg 16);
+#               < 2e-10 beyond, where it is taken as 0.
+# ---------------------------------------------------------------------------
+
+_PSI16 = (
+    2.1757977912e+00, 8.7238583956e-01, -3.6892018123e-01,
+    2.6639334422e-01, -3.0652694159e-01, 3.5548457997e-01,
+    -2.6189238628e-01, -2.4213697891e-02, 2.8364683062e-01,
+    -1.8458533370e-01, -1.4809996449e-01, 2.0059578844e-01,
+    2.6626983370e-02, -1.0002159820e-01, 1.0627602737e-02,
+    2.0535995726e-02, -4.6850444672e-03,
+)
+_CHI12 = (
+    4.0670847394e+00, 7.1777561998e-01, -2.5663766034e-01,
+    1.2229208453e-01, -6.5470883526e-02, 3.4052325126e-02,
+    -1.8544414127e-02, 2.1486756963e-02, -1.5912873977e-02,
+    -7.3921800144e-03, 7.0181599787e-03, 9.4303084590e-03,
+    -6.7408343426e-03,
+)
+_MSC12 = (
+    3.9501551376e-01, 4.3649747640e-01, 6.9558655886e-03,
+    -5.9315123697e-02, 1.6028903291e-02, 9.0810490265e-03,
+    -8.6900561279e-03, 1.2751740786e-03, 2.3521225869e-03,
+    -1.4029417590e-03, -2.0112653784e-04, 3.2224146215e-04,
+    -3.4510945732e-05,
+)
+_ML16 = (
+    2.0303841922e-03, -2.1472235766e-02, 1.0271730111e-01,
+    -2.8637921054e-01, 4.9205951297e-01, -4.5959027757e-01,
+    -3.7565569484e-02, 7.1528291312e-01, -6.2360501754e-01,
+    -4.9158524153e-01, 9.3841426405e-01, 1.4786603581e-01,
+    -7.2913628712e-01, 9.6723972682e-03, 3.1196982724e-01,
+    -1.2737141303e-02, -5.7942322326e-02,
+)
+
+
+def _horner(coefs, s):
+    acc = coefs[-1]
+    for c in coefs[-2::-1]:
+        acc = acc * s + c
+    return acc
+
+
+def probit_logit_fast(u):
+    """d(u) = log Phi(u) - log Phi(-u) as two Horner evaluations — no exp,
+    log or division (see block comment above).  float32 kernel path."""
+    a = jnp.minimum(jnp.abs(u), 40.0)
+    psi_v = _horner(_PSI16, a * (1.0 / 3.25) - 1.0)
+    chi_v = _horner(_CHI12, (a - 6.5) * (2.0 / 33.5) - 1.0)
+    tail = jnp.where(a > 6.5, chi_v, psi_v)
+    d_abs = 0.5 * a * a + tail
+    return jnp.where(u >= 0, d_abs, -d_abs)
+
+
+def mills_fast(u):
+    """(imr1, imr0) = (pdf/Phi(u), -pdf/Phi(-u)) with the reference's -u
+    clamps (R/utils.R:172-191), polynomial-only except one reciprocal.
+    float32 kernel path."""
+    a = jnp.minimum(jnp.abs(u), 40.0)
+    t = 1.0 / (1.0 + 0.5 * a)
+    m_small = a + _horner(_MSC12, (t - 0.047619047619047616)
+                          * (2.0 / 0.9523809523809523) - 1.0)
+    m_large = jnp.where(a > 6.5, 0.0,
+                        _horner(_ML16, a * (1.0 / 3.25) - 1.0))
+    pos = u >= 0
+    imr1 = jnp.maximum(jnp.where(pos, m_large, m_small), -u)
+    imr0 = jnp.minimum(-jnp.where(pos, m_small, m_large), -u)
+    return imr1, imr0
+
+
 def mills_ratios_from_stats(u, e, g):
     """(inverse-Mills ratios) imr1 = pdf(u)/Phi(u), imr0 = -pdf(u)/Phi(-u)
     from probit_tail_stats outputs, clamped at -u as in the reference

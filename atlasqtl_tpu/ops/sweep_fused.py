@@ -15,26 +15,30 @@ Fourth-generation TPU design of the reference's C++ hot loop
   gam/mu matrices are emitted (``emit_gam_mu=True``) only on iterations
   whose results feed an ELBO evaluation, a checkpoint, or the final output
   (the driver schedules those);
-- computes the probit log-Phi tails in-kernel with the fast erfcx form
-  (ops/special.py:log_ndtr_both_fast) and pre-folds the whole inclusion-
-  logit constant c * (log Phi - log(1-Phi) - log(tau sig2_inv s2)/2) into
-  one scratch tile, so the per-coordinate logit is a single FMA + sigmoid;
+- computes the probit inclusion logit d = log Phi - log(1-Phi) in-kernel
+  with a polynomial-only evaluation (ops/special.py:probit_logit_fast — no
+  exp/log/div on the tile) and pre-folds the whole inclusion-logit constant
+  c * (d - log(tau sig2_inv s2)/2) into one scratch tile, so the
+  per-coordinate logit is a single FMA + sigmoid; the Z-moment inverse
+  Mills ratios are polynomial-only as well (ops/special.py:mills_fast);
 - accumulates the Z-moment reductions (reference R/update_vb.R:217-234)
   and the three column statistics feeding the next iteration's
   nu/rho/eta/kappa updates in-kernel while the tiles are in VMEM.  In the
   non-annealed phase (c == 1) the Z pass reuses the chain's log-Phi tails
   instead of recomputing them at sqrt(c) * u;
 - runs the strictly-sequential within-block updates sub-blocked with
-  *left-looking* deferred corrections: before window s, ONE deep MXU
-  contraction (sub x (s*sub)) @ ((s*sub) x q_tile) applies every previous
-  window's rank updates (deep-K matmuls stream only `sub` rows — ~3.5x
-  fewer MXU row-streams than the right-looking rank-S trailing update);
-  within the window each coordinate lazily gathers its predecessors'
-  corrections (i scalar-broadcast FMAs).  Update order — and the math —
-  equals the reference's flat k-major Gauss-Seidel exactly;
+  *left-looking* deferred corrections across windows: before window s, ONE
+  deep MXU contraction (sub x (s*sub)) @ ((s*sub) x q_tile) applies every
+  previous window's rank updates (deep-K matmuls stream only `sub` rows —
+  ~3.5x fewer MXU row-streams than a full right-looking rank-S trailing
+  update); within the window each coordinate pushes its rank-1 correction
+  to the remaining rows as one broadcast FMA (right-looking — the additions
+  land on every row in the same j-ascending order as the flat sweep, so
+  the result is bitwise identical).  Update order — and the math — equals
+  the reference's flat k-major Gauss-Seidel exactly;
 - optionally (``mxu_bf16=True``) runs the two large MXU contractions with
   bfloat16 inputs and float32 accumulation.  The sequential-chain
-  corrections (left-looking dots and in-window gathers) always stay f32.
+  corrections (left-looking dots and in-window FMAs) always stay f32.
 
 Per grid step (t, b):
   r0    = x_b^T F_t                  (MXU)
@@ -56,7 +60,7 @@ from .special import probit_tail_stats, mills_ratios_from_stats
 _LOG_SQRT_2PI = 0.9189385332046727
 
 
-def _fused_kernel(scal_ref, x_ref, g_ref, gwin_ref, cp_ref, beta_ref,
+def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
                   s2_ref, tau_ref, logtau_ref, zeta_ref, theta_ref, pm_ref,
                   qm_ref, f_hbm_ref,
                   # outputs
@@ -65,8 +69,9 @@ def _fused_kernel(scal_ref, x_ref, g_ref, gwin_ref, cp_ref, beta_ref,
                   # scratch
                   f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
                   ad_scr, e_scr, g_scr, dma_sem,
-                  *, nb: int, qtiles: int, sub: int, mxu_bf16: bool,
-                  emit: bool, annealed: bool, probe: str = "none"):
+                  *, nb: int, qtiles: int, sub: int, qchunk: int,
+                  mxu_bf16: bool, emit: bool, annealed: bool,
+                  probe: str = "none"):
     t = pl.program_id(0)
     b = pl.program_id(1)
     qt = r_scr.shape[1]
@@ -91,14 +96,16 @@ def _fused_kernel(scal_ref, x_ref, g_ref, gwin_ref, cp_ref, beta_ref,
     qm = qm_ref[0, :]                       # (QT,)
 
     u = theta[:, None] + zeta[None, :]      # (B, QT)
-    # Probit tails for this block's (theta + zeta); the sequential loop
+    # Probit logit for this block's (theta + zeta); the sequential loop
     # reads the folded logit constant row-by-row through a ref.
     # gam = sigmoid(ad + mu^2 * c/(2 s2)) with
     # ad = c*(logPhi - log(1-Phi) - cst); the logit stays in log space
     # throughout — an odds-ratio form would need Phi(-u)/Phi(u) * exp(-m),
     # which silently collapses to 0*inf / 1-instead-of-0 in the
-    # double-extreme corner (|u| > 13 with large mu^2/(2 s2)).  e/g feed
-    # the Z Mills ratios (ops/special.py:probit_tail_stats).
+    # double-extreme corner (|u| > 13 with large mu^2/(2 s2)).
+    # e/g feed the Z Mills ratios (ops/special.py:probit_tail_stats); the
+    # erfcx/exp/log form beats polynomial-only evaluation here (VPU
+    # transcendentals are cheap; long Horner chains are not — measured).
     if probe not in ("jacobi_min", "nomxu"):
         e_t, g_t, d_t = probit_tail_stats(u)
         ad_scr[:, :] = c * (d_t - cst[None, :])
@@ -132,17 +139,25 @@ def _fused_kernel(scal_ref, x_ref, g_ref, gwin_ref, cp_ref, beta_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=r_scr.dtype)
 
+    # remove each coordinate's own diagonal contribution once, as a tile op
+    # (beta_ref holds the pre-sweep values every row's update subtracts)
+    if probe != "nomxu":
+        r_scr[:, :] = r_scr[:, :] - beta_ref[:, :] * d_diag
+
     # ---- sub-blocked sequential Gauss-Seidel --------------------------
-    # Left-looking: one deep MXU contraction applies all previous windows'
-    # corrections to this window; coordinate i then gathers only its
-    # in-window predecessors (i scalar-broadcast FMAs, registers only).
-    # Identical update order and math to the reference's flat sweep.
+    # Left-looking across windows: one deep MXU contraction applies all
+    # previous windows' corrections to this window.  Within the window the
+    # chain is right-looking: each coordinate broadcasts its rank-1
+    # correction to the window's remaining rows as one FMA.  Identical
+    # update order and math to the reference's flat sweep.
     if probe in ("jacobi", "jacobi_min", "nomxu"):
         # PERF PROBE ONLY (wrong math): full-tile Jacobi update with no
         # sequential corrections — measures the kernel's floor without the
         # per-row chain.  Never selected by production code.
         beta_old_blk = beta_ref[:, :]
-        r_adj = r_scr[:, :] - beta_old_blk * d_diag
+        r_adj = r_scr[:, :]   # diagonal contribution already removed above
+        if probe == "nomxu":
+            r_adj = r_adj - beta_old_blk * d_diag
         mu_blk = ct[None, :] * (cp_ref[:, :] - r_adj)
         gam_blk = jax.nn.sigmoid(ad_scr[:, :]
                                  + mu_blk * mu_blk * c_inv_2s2[None, :])
@@ -153,36 +168,51 @@ def _fused_kernel(scal_ref, x_ref, g_ref, gwin_ref, cp_ref, beta_ref,
              if probe in ("none", "exact_noz", "noseq", "nosig", "norank",
                           "dmalite")
              else 0)
+    # The per-row chain values are (1, q) vectors of 128-lane vregs; at the
+    # full tile width (~16 vregs each, ~6 live per row) they blow past the
+    # vector register file and Mosaic spills every row.  Chunking the chain
+    # along q keeps the working set in registers; q-chunks are independent
+    # (every cross-row correction is columnwise), so the update order per
+    # column — and hence the math — is unchanged.
+    qch = min(qchunk, qt)
+    nqc = qt // qch
     for s in range(n_sub):
         lo = s * sub
         if lo > 0 and probe != "norank":
-            # deferred corrections from every previous window (deep MXU)
+            # deferred corrections from every previous window (deep MXU,
+            # full tile width)
             corr = jax.lax.dot_general(
                 g_ref[lo:lo + sub, 0:lo], delta_scr[0:lo, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=r_scr.dtype)
             r_scr[lo:lo + sub, :] = r_scr[lo:lo + sub, :] + corr
-        for i in range(sub):
-            row = lo + i
-            beta_old = beta_ref[row, :]
-            r_i = r_scr[row, :]
-            if probe != "noseq":  # "noseq" PERF PROBE: no in-window gathers
-                for j in range(i):
-                    # in-window Gram scalars come from SMEM (native scalar
-                    # loads; a dynamic VMEM scalar read costs a vector load
-                    # + lane extract each)
-                    r_i = r_i + (gwin_ref[0, 0, (s * sub + i) * sub + j]
-                                 * delta_scr[lo + j, :])
-            r_i = r_i - beta_old * d_diag
-            mu_new = ct * (cp_ref[row, :] - r_i)
-            logit = ad_scr[row, :] + mu_new * mu_new * c_inv_2s2
-            if probe == "nosig":  # PERF PROBE: no transcendental (wrong)
-                gam_new = jnp.clip(logit, 0.0, 1.0)
-            else:
-                gam_new = jax.nn.sigmoid(logit)
-            delta_scr[row, :] = gam_new * mu_new - beta_old
-            gam_scr[row, :] = gam_new
-            mu_scr[row, :] = mu_new
+        for qc in range(nqc):
+            ql = qc * qch
+            ct_c = ct[ql:ql + qch]
+            k_c = c_inv_2s2[ql:ql + qch]
+            for i in range(sub):
+                row = lo + i
+                r_i = r_scr[row, ql:ql + qch]
+                mu_new = ct_c * (cp_ref[row, ql:ql + qch] - r_i)
+                logit = ad_scr[row, ql:ql + qch] + mu_new * mu_new * k_c
+                if probe == "nosig":  # PERF PROBE: no transcendental (wrong)
+                    gam_new = jnp.clip(logit, 0.0, 1.0)
+                else:
+                    gam_new = jax.nn.sigmoid(logit)
+                delta_i = gam_new * mu_new - beta_ref[row, ql:ql + qch]
+                delta_scr[row, ql:ql + qch] = delta_i
+                gam_scr[row, ql:ql + qch] = gam_new
+                mu_scr[row, ql:ql + qch] = mu_new
+                if i < sub - 1 and probe != "noseq":
+                    # right-looking: push this coordinate's rank-1 correction
+                    # to the rest of the window now — ONE broadcast FMA
+                    # against the Gram column (the additions land on each row
+                    # in the same j-ascending order as the flat sweep, so the
+                    # result is bitwise identical)
+                    gcol = g_ref[lo + i + 1:lo + sub, row]
+                    r_scr[lo + i + 1:lo + sub, ql:ql + qch] = (
+                        r_scr[lo + i + 1:lo + sub, ql:ql + qch]
+                        + gcol[:, None] * delta_i[None, :])
 
     # ---- advance the resident F tile (MXU) ----
     if probe == "nomxu":  # PERF PROBE: no F advance (wrong math)
@@ -227,7 +257,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, gwin_ref, cp_ref, beta_ref,
     # ---- Z-moment tile reduction (reference: R/update_vb.R:217-234) ----
     if probe in ("exact_noz", "jacobi_min", "nomxu", "noseq", "nosig",
                  "norank"):
-        z = gam_m  # PERF PROBE: skip the Z transcendentals (wrong math)
+        z = gam_m  # PERF PROBE: skip the Z Mills ratios (wrong math)
     elif annealed:
         uc = sqrt_c * u
         e_c, g_c, _ = probit_tail_stats(uc)  # d unused: DCE'd
@@ -273,12 +303,13 @@ def _fused_kernel(scal_ref, x_ref, g_ref, gwin_ref, cp_ref, beta_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_size", "q_tile", "sub",
+                   static_argnames=("block_size", "q_tile", "sub", "qchunk",
                                     "mxu_bf16", "emit_gam_mu", "annealed",
                                     "probe"))
-def sweep_fused(x, cp_x_y, gram_flat, gwin, beta, fitted, theta8, pm8,
+def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
                 zeta, q_mask, sig2_beta, tau, log_tau, c, log_sig2_inv,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
+                qchunk: int = 512,
                 mxu_bf16: bool = False, emit_gam_mu: bool = True,
                 annealed: bool = False, probe: str = "none"):
     """One full Gauss-Seidel sweep (+ fused Z/column reductions) as a single
@@ -335,7 +366,7 @@ def sweep_fused(x, cp_x_y, gram_flat, gwin, beta, fitted, theta8, pm8,
 
     out = pl.pallas_call(
         functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub,
-                          mxu_bf16=mxu_bf16, emit=emit_gam_mu,
+                          qchunk=qchunk, mxu_bf16=mxu_bf16, emit=emit_gam_mu,
                           annealed=annealed, probe=probe),
         grid=(qtiles, nb),
         in_specs=[
@@ -343,8 +374,6 @@ def sweep_fused(x, cp_x_y, gram_flat, gwin, beta, fitted, theta8, pm8,
             xspec,                                                    # x
             pl.BlockSpec((block_size, block_size), lambda t, b: (b, 0),
                          memory_space=pltpu.VMEM),                    # gram
-            pl.BlockSpec((1, 1, gwin.shape[2]), lambda t, b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),   # in-window Gram scalars
             cpspec, tile(),                          # cp, beta
             vec(), vec(), vec(), vec(),              # s2, tau, logtau, zeta
             bvec(), bvec(),                          # theta8, pm8
@@ -378,14 +407,14 @@ def sweep_fused(x, cp_x_y, gram_flat, gwin, beta, fitted, theta8, pm8,
             pltpu.VMEM((block_size, q_tile), dt),   # gaussian stat g
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={5: 0, 13: 3},
+        input_output_aliases={4: 0, 12: 3},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the bf16 staging copies of the F tile / x block push the
             # scoped-vmem stack past the 16 MB default
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, x, gram_flat, gwin, cp_x_y, beta,
+    )(scal, x, gram_flat, cp_x_y, beta,
       sig2_beta[None, :], tau[None, :], log_tau[None, :], zeta[None, :],
       theta8, pm8, q_mask[None, :], fitted)
     beta_out, gam_out, mu_out, f_out, zrow, zcol, gcol, m2gcol, b2col = out
@@ -400,6 +429,7 @@ def sweep_fused(x, cp_x_y, gram_flat, gwin, beta, fitted, theta8, pm8,
 def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
                          consts, block_size, p_mask=None, q_mask=None,
                          q_tile: int = 1024, sub: int = 16,
+                         qchunk: int = 512,
                          mxu_bf16: bool = False, emit_gam_mu: bool = True,
                          annealed: bool = False, probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_complete, carrying
@@ -416,17 +446,10 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
         consts.theta.reshape(nb, 1, block_size), (nb, 8, block_size))
     pm8 = jnp.broadcast_to(
         p_mask.reshape(nb, 1, block_size), (nb, 8, block_size))
-    # within-window Gram scalars, flattened per block for SMEM residence
-    sub_eff = min(sub, block_size)
-    n_sub = block_size // sub_eff
-    gb5 = gram_blocks.reshape(nb, n_sub, sub_eff, n_sub, sub_eff)
-    idx = jnp.arange(n_sub)
-    gwin = jnp.transpose(gb5[:, idx, :, idx, :], (1, 0, 2, 3)).reshape(
-        nb, 1, n_sub * sub_eff * sub_eff)
 
     return sweep_fused(
-        x, cp_x_y, gram_flat, gwin, beta, fitted, theta8, pm8, consts.zeta,
+        x, cp_x_y, gram_flat, beta, fitted, theta8, pm8, consts.zeta,
         q_mask, consts.sig2_beta, consts.tau, consts.log_tau, consts.c,
         consts.log_sig2_inv, block_size=block_size, q_tile=q_tile, sub=sub,
-        mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu, annealed=annealed,
-        probe=probe)
+        qchunk=qchunk, mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu,
+        annealed=annealed, probe=probe)

@@ -146,3 +146,41 @@ def test_probit_tail_stats():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(imr0), [0.0, -40.02497],
                                atol=1e-3)
+
+
+def test_probit_logit_fast_and_mills_fast():
+    """Polynomial-only kernel paths (fused sweep, float32): accuracy vs
+    scipy f64 on exact-f32 inputs, across both fit branches and the clamp."""
+    import scipy.stats as sst
+    from scipy.special import log_ndtr
+
+    u32 = jnp.asarray(np.concatenate([np.linspace(-36, 36, 50001),
+                                      np.linspace(-8, 8, 50001)]),
+                      jnp.float32)
+    u = np.asarray(u32, np.float64)
+    d_ref = log_ndtr(u) - log_ndtr(-u)
+    d = np.asarray(sp.probit_logit_fast(u32), np.float64)
+    m = np.abs(u) <= 6.5
+    # unsaturated region: f32 round-off grade; saturated: |logit| > 21 so
+    # 1e-5 absolute is invisible through the sigmoid
+    np.testing.assert_allclose(d[m], d_ref[m], atol=3e-6)
+    np.testing.assert_allclose(d[~m], d_ref[~m], atol=2e-5)
+    # d(0) = 0 and odd symmetry through the sign select
+    z = np.asarray(sp.probit_logit_fast(jnp.zeros((), jnp.float32)))
+    assert abs(z) < 1e-6
+
+    pdf = sst.norm.pdf(u)
+    imr1_ref = np.maximum(pdf / sst.norm.cdf(u), -u)
+    imr0_ref = np.minimum(-pdf / sst.norm.cdf(-u), -u)
+    i1, i0 = sp.mills_fast(u32)
+    np.testing.assert_allclose(np.asarray(i1, np.float64), imr1_ref,
+                               atol=3e-6)
+    np.testing.assert_allclose(np.asarray(i0, np.float64), imr0_ref,
+                               atol=3e-6)
+    # clamp at |u| = 40: still finite and at the asymptote
+    ub = jnp.asarray([-50.0, 50.0], jnp.float32)
+    d = np.asarray(sp.probit_logit_fast(ub))
+    assert np.isfinite(d).all() and d[0] < -700 and d[1] > 700
+    i1, i0 = sp.mills_fast(ub)
+    np.testing.assert_allclose(np.asarray(i1), [50.0, 0.0], atol=2e-2)
+    np.testing.assert_allclose(np.asarray(i0), [0.0, -50.0], atol=2e-2)
