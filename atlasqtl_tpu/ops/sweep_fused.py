@@ -1,6 +1,6 @@
 """Fully-fused Pallas sweep: the entire Gauss-Seidel pass in one kernel.
 
-Fourth-generation TPU design of the reference's C++ hot loop
+Fifth-generation TPU design of the reference's C++ hot loop
 (src/coreLoop.cpp:38-86).  Relative to the hybrid XLA+Pallas sweep
 (ops/sweep_pallas.py) this kernel:
 
@@ -15,33 +15,36 @@ Fourth-generation TPU design of the reference's C++ hot loop
   gam/mu matrices are emitted (``emit_gam_mu=True``) only on iterations
   whose results feed an ELBO evaluation, a checkpoint, or the final output
   (the driver schedules those);
-- computes the probit inclusion logit d = log Phi - log(1-Phi) in-kernel
-  with a polynomial-only evaluation (ops/special.py:probit_logit_fast — no
-  exp/log/div on the tile) and pre-folds the whole inclusion-logit constant
-  c * (d - log(tau sig2_inv s2)/2) into one scratch tile, so the
-  per-coordinate logit is a single FMA + sigmoid; the Z-moment inverse
-  Mills ratios are polynomial-only as well (ops/special.py:mills_fast);
-- accumulates the Z-moment reductions (reference R/update_vb.R:217-234)
-  and the three column statistics feeding the next iteration's
-  nu/rho/eta/kappa updates in-kernel while the tiles are in VMEM.  In the
-  non-annealed phase (c == 1) the Z pass reuses the chain's log-Phi tails
-  instead of recomputing them at sqrt(c) * u;
+- evaluates the probit inclusion-logit and inverse-Mills tiles by
+  *Chebyshev interpolation on the MXU* (ops/interp.py): all three tiles
+  are smooth functions of the rank-1 outer sum u = theta_j + zeta_k, so
+  one (block, r) @ (r, q_tile) matmul against per-iteration node values
+  replaces the per-element transcendental pass that used to bound the
+  kernel (the VPU is issue-limited at ~1 vector op/cycle; the erfcx->
+  exp->log chain cost ~25 ops per element).  Only the shared analytic
+  base sqrt(u^2 + K) — which carries the functions' unbounded growth so
+  the float32 interpolation error stays at round-off grade — is computed
+  per element (~8 ops);
 - runs the strictly-sequential within-block updates sub-blocked with
   *left-looking* deferred corrections across windows: before window s, ONE
   deep MXU contraction (sub x (s*sub)) @ ((s*sub) x q_tile) applies every
-  previous window's rank updates (deep-K matmuls stream only `sub` rows —
-  ~3.5x fewer MXU row-streams than a full right-looking rank-S trailing
-  update); within the window each coordinate pushes its rank-1 correction
-  to the remaining rows as one broadcast FMA (right-looking — the additions
-  land on every row in the same j-ascending order as the flat sweep, so
-  the result is bitwise identical).  Update order — and the math — equals
-  the reference's flat k-major Gauss-Seidel exactly;
+  previous window's rank updates; within the window each coordinate pushes
+  its rank-1 correction to the remaining rows as one broadcast FMA
+  (right-looking — the additions land on every row in the same j-ascending
+  order as the flat sweep, so the result is bitwise identical).  The chain
+  is chunked along q so the per-row live vectors fit the vector register
+  file.  Update order — and the math — equals the reference's flat k-major
+  Gauss-Seidel exactly;
+- accumulates the Z-moment reductions (reference R/update_vb.R:217-234)
+  and the three column statistics feeding the next iteration's
+  nu/rho/eta/kappa updates in-kernel while the tiles are in VMEM;
 - optionally (``mxu_bf16=True``) runs the two large MXU contractions with
   bfloat16 inputs and float32 accumulation.  The sequential-chain
-  corrections (left-looking dots and in-window FMAs) always stay f32.
+  corrections and the interpolation dots always stay f32.
 
 Per grid step (t, b):
   r0    = x_b^T F_t                  (MXU)
+  ad/imrd/imr0u = L_b @ N_t + base   (MXU + ~8 VPU ops/element)
   sub-blocked Gauss-Seidel           (VPU + deep left-looking MXU)
   tile stats + Z reduction           (VPU)
   F_t  += x_b delta                  (MXU)
@@ -55,40 +58,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .special import probit_tail_stats, mills_ratios_from_stats
+from .interp import K_BASE, tail_interp_operands
 
 _LOG_SQRT_2PI = 0.9189385332046727
 
 
-def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
-                  s2_ref, tau_ref, logtau_ref, zeta_ref, theta_ref, pm_ref,
+def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
+                  s2_ref, tau_ref, zeta_ref, theta_ref, pm_ref,
                   qm_ref, f_hbm_ref,
                   # outputs
                   beta_out_ref, gam_out_ref, mu_out_ref, f_out_ref,
                   zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
                   # scratch
                   f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
-                  ad_scr, e_scr, g_scr, dma_sem,
+                  ad_scr, imrd_scr, imr0u_scr, dma_sem,
                   *, nb: int, qtiles: int, sub: int, qchunk: int,
-                  mxu_bf16: bool, emit: bool, annealed: bool,
-                  probe: str = "none"):
+                  mxu_bf16: bool, emit: bool, probe: str = "none"):
     t = pl.program_id(0)
     b = pl.program_id(1)
     qt = r_scr.shape[1]
     bsz = r_scr.shape[0]
 
     c = scal_ref[0]
-    log_sig2_inv = scal_ref[1]
     # Gram diagonal: exactly n-1 for standardized X; padded predictor
     # columns are all-zero so beta_old is identically 0 there and the wrong
     # diagonal multiplies zero
-    d_diag = scal_ref[2]
-    sqrt_c = scal_ref[3]
+    d_diag = scal_ref[1]
+    kz = scal_ref[2]          # K/c for the Z-moment base (interp.py)
 
     s2 = s2_ref[0, :]
     ct = c * s2 * tau_ref[0, :]
-    # cst = -log(tau sig2_inv s2)/2, the constant part of the logit
-    cst = -(logtau_ref[0, :] + log_sig2_inv + jnp.log(s2)) / 2.0
     c_inv_2s2 = c * 0.5 / s2
     zeta = zeta_ref[0, :]                   # (QT,)
     theta = theta_ref[0, 0, :]              # (B,)
@@ -96,24 +95,25 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
     qm = qm_ref[0, :]                       # (QT,)
 
     u = theta[:, None] + zeta[None, :]      # (B, QT)
-    # Probit logit for this block's (theta + zeta); the sequential loop
-    # reads the folded logit constant row-by-row through a ref.
-    # gam = sigmoid(ad + mu^2 * c/(2 s2)) with
-    # ad = c*(logPhi - log(1-Phi) - cst); the logit stays in log space
-    # throughout — an odds-ratio form would need Phi(-u)/Phi(u) * exp(-m),
-    # which silently collapses to 0*inf / 1-instead-of-0 in the
-    # double-extreme corner (|u| > 13 with large mu^2/(2 s2)).
-    # e/g feed the Z Mills ratios (ops/special.py:probit_tail_stats); the
-    # erfcx/exp/log form beats polynomial-only evaluation here (VPU
-    # transcendentals are cheap; long Horner chains are not — measured).
+    # Probit logit + inverse-Mills tiles: MXU interpolation dots against
+    # the per-iteration Chebyshev node values (ops/interp.py) plus the
+    # shared per-element sqrt base.  gam = sigmoid(ad + mu^2 * c/(2 s2));
+    # the logit stays in log space throughout — an odds-ratio form would
+    # need Phi(-u)/Phi(u) * exp(-m), which silently collapses to
+    # 0*inf / 1-instead-of-0 in the double-extreme corner.
     if probe not in ("jacobi_min", "nomxu"):
-        e_t, g_t, d_t = probit_tail_stats(u)
-        ad_scr[:, :] = c * (d_t - cst[None, :])
-        e_scr[:, :] = e_t
-        g_scr[:, :] = g_t
-    else:  # PERF PROBE: skip the probit tails (wrong math)
-        e_scr[:, :] = u
-        g_scr[:, :] = -u
+        l_blk = l_ref[:, :]                 # (B, r+2)
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=r_scr.dtype)
+        u2 = u * u
+        s_d = jnp.sqrt(u2 + K_BASE)
+        ad_scr[:, :] = c * (0.5 * u * s_d) + dot(l_blk, n_ref[0])
+        s_z = jnp.sqrt(u2 + kz)
+        imrd_scr[:, :] = s_z + dot(l_blk, n_ref[1])
+        imr0u_scr[:, :] = dot(l_blk, n_ref[2]) - 0.5 * (s_z + u)
+    else:  # PERF PROBE: skip the probit tiles (wrong math)
         ad_scr[:, :] = u
 
     # ---- fetch the F tile into VMEM at the first predictor block ----
@@ -145,11 +145,6 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
         r_scr[:, :] = r_scr[:, :] - beta_ref[:, :] * d_diag
 
     # ---- sub-blocked sequential Gauss-Seidel --------------------------
-    # Left-looking across windows: one deep MXU contraction applies all
-    # previous windows' corrections to this window.  Within the window the
-    # chain is right-looking: each coordinate broadcasts its rank-1
-    # correction to the window's remaining rows as one FMA.  Identical
-    # update order and math to the reference's flat sweep.
     if probe in ("jacobi", "jacobi_min", "nomxu"):
         # PERF PROBE ONLY (wrong math): full-tile Jacobi update with no
         # sequential corrections — measures the kernel's floor without the
@@ -255,19 +250,14 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
         b2col_ref[0, :] = b2col_ref[0, :] + b2col
 
     # ---- Z-moment tile reduction (reference: R/update_vb.R:217-234) ----
+    # z = gam*(imr1 - imr0) + imr0 + u at uc = sqrt(c) u, rescaled by
+    # 1/sqrt(c) — all folded into the interpolated imrd/imr0u tiles
+    # (ops/interp.py), so annealed and converged phases share this line.
     if probe in ("exact_noz", "jacobi_min", "nomxu", "noseq", "nosig",
                  "norank"):
         z = gam_m  # PERF PROBE: skip the Z Mills ratios (wrong math)
-    elif annealed:
-        uc = sqrt_c * u
-        e_c, g_c, _ = probit_tail_stats(uc)  # d unused: DCE'd
-        imr1, imr0 = mills_ratios_from_stats(uc, e_c, g_c)
-        z = ((gam_m * (imr1 - imr0) + imr0) / sqrt_c + u)
-        z = z * msk
     else:
-        # c == 1: reuse the chain's probit stats (uc == u, sqrt_c == 1)
-        imr1, imr0 = mills_ratios_from_stats(u, e_scr[:, :], g_scr[:, :])
-        z = (gam_m * (imr1 - imr0) + imr0 + u) * msk
+        z = (gam_m * imrd_scr[:, :] + imr0u_scr[:, :]) * msk
 
     zr = jnp.sum(z, axis=1)                 # (B,)
     zc = jnp.sum(z, axis=0)                 # (QT,)
@@ -304,19 +294,20 @@ def _fused_kernel(scal_ref, x_ref, g_ref, cp_ref, beta_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "q_tile", "sub", "qchunk",
-                                    "mxu_bf16", "emit_gam_mu", "annealed",
-                                    "probe"))
-def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
-                zeta, q_mask, sig2_beta, tau, log_tau, c, log_sig2_inv,
+                                    "mxu_bf16", "emit_gam_mu", "probe"))
+def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
+                pm8, zeta, q_mask, sig2_beta, tau, c, kz,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
                 qchunk: int = 512,
                 mxu_bf16: bool = False, emit_gam_mu: bool = True,
-                annealed: bool = False, probe: str = "none"):
+                probe: str = "none"):
     """One full Gauss-Seidel sweep (+ fused Z/column reductions) as a single
     pallas_call.
 
     x: (n, p); cp_x_y/beta: (p, q); fitted: (n, q);
     gram_flat: (p, B) stacked diagonal Gram blocks;
+    l_aug: (p, r+2) Lagrange basis; n_stack: (3, r+2, q) node values
+    (ops/interp.py:tail_interp_operands);
     theta8/pm8: (nb, 8, B) sublane-padded per-block theta / predictor mask.
     Returns (beta', gam'|None, mu'|None, fitted', z_row (p,), z_col (q,),
     (colsum gam, colsum mu^2 gam, colsum beta^2)).
@@ -326,13 +317,13 @@ def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
     nb = p // block_size
     qtiles = q // q_tile
     dt = beta.dtype
+    r_aug = l_aug.shape[1]
     sub = min(sub, block_size)
     assert block_size % sub == 0, (block_size, sub)
     interpret = jax.devices()[0].platform == "cpu"
 
-    scal = jnp.stack([jnp.asarray(c, dt), jnp.asarray(log_sig2_inv, dt),
-                      jnp.asarray(n - 1.0, dt),
-                      jnp.sqrt(jnp.asarray(c, dt))])
+    scal = jnp.stack([jnp.asarray(c, dt), jnp.asarray(n - 1.0, dt),
+                      jnp.asarray(kz, dt)])
 
     tile = lambda: pl.BlockSpec((block_size, q_tile), lambda t, b: (b, t),
                                 memory_space=pltpu.VMEM)
@@ -367,15 +358,19 @@ def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
     out = pl.pallas_call(
         functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub,
                           qchunk=qchunk, mxu_bf16=mxu_bf16, emit=emit_gam_mu,
-                          annealed=annealed, probe=probe),
+                          probe=probe),
         grid=(qtiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
             xspec,                                                    # x
             pl.BlockSpec((block_size, block_size), lambda t, b: (b, 0),
                          memory_space=pltpu.VMEM),                    # gram
+            pl.BlockSpec((block_size, r_aug), lambda t, b: (b, 0),
+                         memory_space=pltpu.VMEM),                    # l_aug
+            pl.BlockSpec((3, r_aug, q_tile), lambda t, b: (0, 0, t),
+                         memory_space=pltpu.VMEM),                    # nodes
             cpspec, tile(),                          # cp, beta
-            vec(), vec(), vec(), vec(),              # s2, tau, logtau, zeta
+            vec(), vec(), vec(),                     # s2, tau, zeta
             bvec(), bvec(),                          # theta8, pm8
             vec(),                                   # q_mask
             pl.BlockSpec(memory_space=pl.ANY),       # fitted (HBM)
@@ -403,19 +398,19 @@ def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
             pltpu.VMEM((block_size, q_tile), dt),   # mu values
             pltpu.VMEM((1, p), dt),                 # z_row accumulator
             pltpu.VMEM((block_size, q_tile), dt),   # folded logit constant
-            pltpu.VMEM((block_size, q_tile), dt),   # erfcx stat e
-            pltpu.VMEM((block_size, q_tile), dt),   # gaussian stat g
+            pltpu.VMEM((block_size, q_tile), dt),   # interp imrd tile
+            pltpu.VMEM((block_size, q_tile), dt),   # interp imr0u tile
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={4: 0, 12: 3},
+        input_output_aliases={6: 0, 13: 3},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the bf16 staging copies of the F tile / x block push the
             # scoped-vmem stack past the 16 MB default
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, x, gram_flat, cp_x_y, beta,
-      sig2_beta[None, :], tau[None, :], log_tau[None, :], zeta[None, :],
+    )(scal, x, gram_flat, l_aug, n_stack, cp_x_y, beta,
+      sig2_beta[None, :], tau[None, :], zeta[None, :],
       theta8, pm8, q_mask[None, :], fitted)
     beta_out, gam_out, mu_out, f_out, zrow, zcol, gcol, m2gcol, b2col = out
     if emit_gam_mu:
@@ -429,11 +424,14 @@ def sweep_fused(x, cp_x_y, gram_flat, beta, fitted, theta8, pm8,
 def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
                          consts, block_size, p_mask=None, q_mask=None,
                          q_tile: int = 1024, sub: int = 16,
-                         qchunk: int = 512,
+                         qchunk: int = 512, interp_r: int = 40,
                          mxu_bf16: bool = False, emit_gam_mu: bool = True,
                          annealed: bool = False, probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_complete, carrying
-    beta = gam * mu_beta (see module docstring)."""
+    beta = gam * mu_beta (see module docstring).  `annealed` is accepted
+    for interface parity but unused: the interpolation node builder handles
+    any inverse temperature c through consts.c."""
+    del annealed
     n, p = x.shape
     q = beta.shape[1]
     nb = p // block_size
@@ -447,9 +445,16 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
     pm8 = jnp.broadcast_to(
         p_mask.reshape(nb, 1, block_size), (nb, 8, block_size))
 
+    # folded logit constant: ad = c*(d(u) - cst) with
+    # cst = -log(tau sig2_inv s2)/2 (reference src/coreLoop.cpp:52-57)
+    cst = -0.5 * (consts.log_tau + consts.log_sig2_inv
+                  + jnp.log(consts.sig2_beta))
+    l_aug, n_stack, kz = tail_interp_operands(
+        consts.theta, consts.zeta, cst, consts.c, p_mask, r=interp_r)
+
     return sweep_fused(
-        x, cp_x_y, gram_flat, beta, fitted, theta8, pm8, consts.zeta,
-        q_mask, consts.sig2_beta, consts.tau, consts.log_tau, consts.c,
-        consts.log_sig2_inv, block_size=block_size, q_tile=q_tile, sub=sub,
+        x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8, pm8,
+        consts.zeta, q_mask, consts.sig2_beta, consts.tau, consts.c, kz,
+        block_size=block_size, q_tile=q_tile, sub=sub,
         qchunk=qchunk, mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu,
-        annealed=annealed, probe=probe)
+        probe=probe)
