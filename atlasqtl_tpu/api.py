@@ -113,13 +113,6 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
                  missing=missing,
                  q_axis=None if mesh is None else "q",
                  p_axis="p" if has_p_axis else None)
-    if has_p_axis and missing == "exact":
-        # the pipelined 2-D sweep currently covers the complete-data and
-        # VB-impute paths; exact-missing keeps the 1-D q mesh
-        if np.isnan(np.asarray(dat.y, float)).any():
-            raise NotImplementedError(
-                "missing='exact' is not yet supported on a 2-D (p, q) mesh; "
-                "use a 1-D trait mesh or missing='impute'")
 
     from .parallel.mesh import (p_pad_multiple, q_pad_multiple, shard_data,
                                 shard_hyper, shard_state)

@@ -450,7 +450,8 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                     data.x, cp_x_y, gram_blocks, beta_carry,
                     state.fitted, consts, block,
                     p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile,
-                    sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16,
+                    sub=cfg.sweep_sub, qchunk=cfg.sweep_qchunk,
+                    mxu_bf16=cfg.mxu_bf16,
                     emit_gam_mu=not lite, annealed=annealed)
             # the kernel masks beta/gam/mu at write time
         else:
@@ -470,7 +471,14 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
             beta_new = gam_new * mu_new
     else:
         colstats = None
-        if data.mis_pair_gram is not None:
+        if mesh is not None and cfg.p_axis is not None:
+            # 2-D (p x q) mesh, exact-missing: pipelined masked-F sweep
+            from ..parallel.pipeline import pipelined_sweep_missing_2d
+            gam_new, mu_new, fitted, z_row, z_col = pipelined_sweep_missing_2d(
+                mesh, cfg, data, state, consts, cfg.block_size)
+            gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
+            mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+        elif data.mis_pair_gram is not None:
             from ..ops.sweep import sweep_missing_blocked
             gam_new, mu_new, fitted, z_row, z_col = sweep_missing_blocked(
                 data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat,
@@ -559,7 +567,8 @@ def _sharded_fused_sweep(mesh, cfg, data, state, beta_carry, gram_blocks,
         b, g, m, f, zr, zc, cs = sweep_complete_fused(
             x, cp, gb, beta, fitted, consts_l, block,
             p_mask=pmask, q_mask=qmask, q_tile=q_tile,
-            sub=cfg.sweep_sub, mxu_bf16=cfg.mxu_bf16,
+            sub=cfg.sweep_sub, qchunk=cfg.sweep_qchunk,
+            mxu_bf16=cfg.mxu_bf16,
             emit_gam_mu=emit_gam_mu, annealed=annealed)
         zr = jax.lax.psum(zr, qax)
         if not emit_gam_mu:  # shard_map needs arrays, not None

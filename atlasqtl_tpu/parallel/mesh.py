@@ -75,7 +75,7 @@ def _data_spec(path, leaf, two_d):
     if name in ("y_norm_sq", "n_eff", "q_mask", "n_mis"):
         return P(Q_AXIS)
     if name == "mis_pair_gram":
-        return P(None, None, Q_AXIS)
+        return P(pax, None, Q_AXIS)
     if name == "x":
         return P(None, pax)
     if name == "p_mask":
@@ -93,7 +93,7 @@ def _hyper_spec(path, leaf, two_d):
 def _state_spec(path, leaf, two_d):
     name = path[0].name if hasattr(path[0], "name") else str(path[0])
     pax = P_AXIS if two_d else None
-    if name in ("gam", "mu_beta"):
+    if name in ("gam", "mu_beta", "beta"):
         return P(pax, Q_AXIS)
     if name == "sig2_beta":
         return P(pax, Q_AXIS) if leaf.ndim == 2 else P(Q_AXIS)

@@ -68,14 +68,15 @@ def _tile_sweep_xla(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
 
 
 def _tile_sweep_fused(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
-                      pm_l, qm_t, *, q_tile, sub, mxu_bf16, annealed):
+                      pm_l, qm_t, *, q_tile, sub, qchunk, mxu_bf16, annealed):
     """One-tile processor via the fused Pallas kernel (qtiles = 1)."""
     from ..ops.sweep_fused import sweep_complete_fused
     gram_blocks = gram_l
     beta_t = gam_t * mu_t  # the fused kernel carries the product
     _b, gam_n, mu_n, f_n, zr, zc, (gcol, m2g, b2) = sweep_complete_fused(
         x_l, cp_t, gram_blocks, beta_t, f_t, consts_t, block,
-        p_mask=pm_l, q_mask=qm_t, q_tile=q_tile, sub=sub, mxu_bf16=mxu_bf16,
+        p_mask=pm_l, q_mask=qm_t, q_tile=q_tile, sub=sub,
+        qchunk=qchunk, mxu_bf16=mxu_bf16,
         emit_gam_mu=True, annealed=annealed)
     return gam_n, mu_n, f_n, zr, zc, gcol, m2g, b2
 
@@ -105,6 +106,7 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
 
     if use_fused:
         tile_fn = partial(_tile_sweep_fused, q_tile=qt, sub=cfg.sweep_sub,
+                          qchunk=cfg.sweep_qchunk,
                           mxu_bf16=cfg.mxu_bf16, annealed=annealed)
     else:
         tile_fn = _tile_sweep_xla
@@ -195,3 +197,113 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
       consts.log_sig2_inv)
     gam, mu, beta, fitted, zrow, zcol, gcol, m2g, b2 = out
     return beta, gam, mu, fitted, zrow, zcol, (gcol, m2g, b2)
+
+
+def pipelined_sweep_missing_2d(mesh, cfg, data, state, consts, block):
+    """Exact-missing sweep over a ("p", "q") mesh (closes the last
+    feature x parallelism hole, VERDICT r2 #4).
+
+    Same pipeline schedule as `pipelined_sweep_2d` — q-tiles of the MASKED
+    fitted matrix Fm = mis_pat * (X beta) flow through the p-stages — with
+    the missing-data tile processor `sweep_missing_blocked` (per-(j, k)
+    slab variances, per-response pair-Gram corrections, reference
+    coreDualMisLoop math, src/coreLoop.cpp:91-138).  The rank updates each
+    stage applies to a tile are masked by mis_pat, and masking is
+    idempotent across stages, so the carried tile stays exact and the
+    global update order equals the single-device order.
+
+    Returns (gam, mu, fitted_masked, z_row, z_col) — column statistics for
+    the (p, q)-variance path are recomputed outside the sweep as on a
+    single device.
+    """
+    pax, qax = cfg.p_axis, cfg.q_axis
+    P_sh = mesh.shape[pax]
+    Q_sh = mesh.shape[qax]
+    n = data.x.shape[0]
+    q_local = data.y.shape[1] // Q_sh
+    qt = pick_q_tile(q_local, P_sh, n, False)
+    assert qt is not None, (q_local, P_sh)
+    T = q_local // qt
+    mis_block = (cfg.mis_block if data.mis_pair_gram is not None else 1)
+
+    from ..ops.sweep import sweep_missing_blocked
+
+    def local(x_l, cp_l, xns_l, mp_l, pg_l, gam_l, mu_l, fm_l, theta_l,
+              pm_l, s2_l, tau, logtau, zeta, qm_l, c, log_sig2_inv):
+        pid = jax.lax.axis_index(pax)
+        dt = gam_l.dtype
+        p_l = gam_l.shape[0]
+
+        def step(s, carry):
+            gam_l, mu_l, fcur, fout, zrow, zcol = carry
+            t = s - pid
+            active = jnp.logical_and(t >= 0, t < T)
+            t_c = jnp.clip(t, 0, T - 1)
+            col = (t_c * qt).astype(jnp.int32)
+            z0 = jnp.zeros((), jnp.int32)
+            finj = jax.lax.dynamic_slice(fm_l, (z0, col), (n, qt))
+            fin = jnp.where(pid == 0, finj, fcur)
+            sl2 = lambda v: jax.lax.dynamic_slice(v, (z0, col), (p_l, qt))
+            sln = lambda v: jax.lax.dynamic_slice(v, (z0, col), (n, qt))
+            sl = lambda v: jax.lax.dynamic_slice(v, (col,), (qt,))
+            gam_t, mu_t = sl2(gam_l), sl2(mu_l)
+            consts_t = SweepConsts(
+                sig2_beta=sl2(s2_l), tau=sl(tau), log_tau=sl(logtau),
+                log_sig2_inv=log_sig2_inv, theta=theta_l, zeta=sl(zeta), c=c)
+            pg_t = jax.lax.dynamic_slice(
+                pg_l, (z0, z0, col), (pg_l.shape[0], pg_l.shape[1], qt))
+
+            def do(_):
+                return sweep_missing_blocked(
+                    x_l, sl2(cp_l), sl2(xns_l), sln(mp_l), pg_t, gam_t,
+                    mu_t, fin, consts_t, mis_block, p_mask=pm_l,
+                    q_mask=sl(qm_l))
+
+            def skip(_):
+                return (gam_t, mu_t, fin, jnp.zeros((p_l,), dt),
+                        jnp.zeros((qt,), dt))
+
+            gam_n, mu_n, f_n, zr, zc = jax.lax.cond(active, do, skip, 0)
+            gam_l = jax.lax.dynamic_update_slice(gam_l, gam_n, (z0, col))
+            mu_l = jax.lax.dynamic_update_slice(mu_l, mu_n, (z0, col))
+            zrow = zrow + zr
+            cur = jax.lax.dynamic_slice(zcol, (col,), (qt,))
+            zcol = jax.lax.dynamic_update_slice(
+                zcol, jnp.where(active, zc, cur), (col,))
+            f_keep = jnp.where(jnp.logical_and(active, pid == P_sh - 1),
+                               f_n, jax.lax.dynamic_slice(
+                                   fout, (z0, col), (n, qt)))
+            fout = jax.lax.dynamic_update_slice(fout, f_keep, (z0, col))
+            fnext = jax.lax.ppermute(
+                f_n, pax, [(i, (i + 1) % P_sh) for i in range(P_sh)])
+            return (gam_l, mu_l, fnext, fout, zrow, zcol)
+
+        carry = (gam_l, mu_l, jnp.zeros((n, qt), dt),
+                 jnp.zeros((n, q_local), dt), jnp.zeros((p_l,), dt),
+                 jnp.zeros((q_local,), dt))
+        carry = jax.lax.fori_loop(0, P_sh + T - 1, step, carry)
+        gam_l, mu_l, _, fout, zrow, zcol = carry
+        fitted = jax.lax.psum(fout, pax)      # only the last stage is nonzero
+        zrow = jax.lax.psum(zrow, qax)
+        zcol = jax.lax.psum(zcol, pax)
+        return gam_l, mu_l, fitted, zrow, zcol
+
+    if data.mis_pair_gram is not None:
+        pair_gram = data.mis_pair_gram
+    else:  # per-coordinate fallback: blocked sweep at B = 1 needs no pairs
+        nb_l = data.x.shape[1] // 1
+        pair_gram = jnp.zeros((nb_l, 0, data.y.shape[1]), cfg.dtype)
+
+    pq = P(pax, qax)
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, pax), pq, pq, P(None, qax), P(pax, None, qax),
+                  pq, pq, P(None, qax), P(pax), P(pax),
+                  pq, P(qax), P(qax), P(qax), P(qax), P(), P()),
+        out_specs=(pq, pq, P(None, qax), P(pax), P(qax)),
+        check_vma=False,
+    )(data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, pair_gram,
+      state.gam, state.mu_beta, state.fitted, consts.theta, data.p_mask,
+      consts.sig2_beta, consts.tau, consts.log_tau, consts.zeta,
+      data.q_mask, consts.c, consts.log_sig2_inv)
+    return out

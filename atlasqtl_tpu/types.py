@@ -152,6 +152,8 @@ class Config:
     mxu_bf16: bool = False   # bfloat16 inputs (f32 accumulation) for the two
                              # large MXU contractions of the fused sweep
     sweep_sub: int = 16      # sub-block (unrolled window) of the fused sweep
+    sweep_qchunk: int = 512  # q-chunk of the fused sweep's sequential chain
+                             # (keeps per-row live vectors in vregs)
     debug: bool = True
     thinned_elbo_eval: bool = True
     q_axis: Optional[str] = None   # mesh axis name for trait sharding

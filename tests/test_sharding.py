@@ -171,3 +171,66 @@ def test_sharded_fused_sweep_matches_single_device():
                                np.asarray(s_ref.theta), atol=5e-5)
     np.testing.assert_allclose(np.asarray(s_shard.fitted),
                                np.asarray(s_ref.fitted), atol=5e-3)
+
+
+@pytest.mark.parametrize("p_shards,q_shards", [(2, 4), (4, 2)])
+def test_2d_mesh_exact_missing_matches_single_device(p_shards, q_shards):
+    """Exact-missing on the 2-D (p x q) mesh (pipelined masked-F sweep,
+    parallel/pipeline.py:pipelined_sweep_missing_2d) equals the
+    single-device blocked missing sweep — closes the last
+    feature x parallelism hole (VERDICT r2 #4)."""
+    y, x, _ = simulate_fixture(n=80, p=60, p_act=6, q=32, seed=3,
+                               missing_frac=0.2)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg = Config(dtype=jnp.float64, block_size=16, mis_block=8,
+                 shr_fac_inv=float(q_eff))
+    cfg_m = Config(dtype=jnp.float64, block_size=16, mis_block=8,
+                   shr_fac_inv=float(q_eff), q_axis="q", p_axis="p")
+    mesh = pmesh.make_mesh(p_shards=p_shards)
+    data = gl.build_data(dat.x, dat.y, cfg,
+                         q_pad_to=pmesh.q_pad_multiple(mesh),
+                         p_shards=p_shards)
+    assert data.x_norm_sq is not None    # exact-missing path active
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p_eff, (3, 10)),
+                           data.y.shape[1], cfg)
+    init = elic.auto_set_init(dat.y, p_eff, (3, 10), float(q_eff), 42)
+    state = gl.build_state(init, data, cfg)
+    gram = block_gram(data.x, cfg.block_size)
+
+    s_ref = state
+    for _ in range(3):
+        s_ref = gl.cavi_iteration(data, hyper, s_ref, gram, 1.0, 1.0,
+                                  cfg=cfg, annealed=False)
+    lb_ref = float(gl.compute_elbo(data, hyper, s_ref, cfg=cfg))
+
+    data_s = pmesh.shard_data(data, mesh)
+    hyper_s = pmesh.shard_hyper(hyper, mesh)
+    s_sh = pmesh.shard_state(state, mesh)
+    for _ in range(3):
+        s_sh = gl.cavi_iteration(data_s, hyper_s, s_sh, gram, 1.0, 1.0,
+                                 cfg=cfg_m, annealed=False, mesh=mesh)
+    lb_sh = float(gl.compute_elbo(data_s, hyper_s, s_sh, cfg=cfg_m))
+
+    np.testing.assert_allclose(np.asarray(s_sh.gam), np.asarray(s_ref.gam),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_sh.theta),
+                               np.asarray(s_ref.theta), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_sh.fitted),
+                               np.asarray(s_ref.fitted), rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(lb_sh, lb_ref, rtol=1e-10)
+
+
+def test_2d_mesh_exact_missing_e2e_api():
+    """End-to-end atlasqtl() with missing='exact' on a 2-D mesh (the
+    NotImplementedError gate is gone)."""
+    import atlasqtl_tpu as aq
+    y, x, p_act = simulate_fixture(n=80, p=48, p_act=6, q=32, seed=5,
+                                   missing_frac=0.15)
+    mesh = pmesh.make_mesh(p_shards=2)
+    res = aq.atlasqtl(y, x, p0=(3, 10), dtype=jnp.float64, verbose=0,
+                      user_seed=42, mesh=mesh, missing="exact", maxit=600)
+    assert res.converged
+    assert (res.hotspot_sizes()[:p_act] > 0).any()
