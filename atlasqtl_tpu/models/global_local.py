@@ -90,10 +90,26 @@ def build_data(x_np, y_np, cfg: Config, q_pad_to: int = 8,
                                                missing=exact_missing)
 
     pair_gram = None
-    if exact_missing and cfg.mis_block > 1 and p_pad % cfg.mis_block == 0:
-        from ..ops.sweep import mis_pair_gram
-        pair_gram = jax.jit(mis_pair_gram, static_argnums=2)(
-            xd, md, cfg.mis_block)
+    if exact_missing and cfg.mis_block > 1:
+        # the fused missing kernel computes pair Grams on the fly from the
+        # X tile and mask — skip the (mis_block-1)/2 * p * q precompute
+        # (7 GB at the eQTL bench shape) when it will be selected
+        fused_mis = (cfg.sweep in ("auto", "fused")
+                     and cfg.dtype == jnp.float32
+                     and jax.devices()[0].platform != "cpu"
+                     and cfg.p_axis is None and cfg.q_axis is None
+                     and cfg.block_size == 128 and p_pad % 128 == 0
+                     and _mis_fused_q_tile(n_pad, q_pad) is not None)
+        if not fused_mis and p_pad % cfg.mis_block == 0:
+            from ..ops.sweep import mis_pair_gram
+            pair_gram = jax.jit(mis_pair_gram, static_argnums=2)(
+                xd, md, cfg.mis_block)
+        elif not fused_mis:
+            import logging
+            logging.getLogger("atlasqtl_tpu").warning(
+                "mis_block=%d does not divide the padded p=%d; falling "
+                "back to the per-coordinate missing-data scan",
+                cfg.mis_block, p_pad)
 
     p_mask = np.zeros(p_pad); p_mask[:p] = 1.0
     q_mask = np.zeros(q_pad); q_mask[:q] = 1.0
@@ -296,6 +312,34 @@ def _fused_q_tile(n, q_pad, block=128):
     return None
 
 
+def _mis_fused_q_tile(n, q_pad, block=128):
+    """Response tile for the fused exact-missing kernel: two resident
+    (n x q_tile) tiles (Fm and the mask) plus six block tiles and the
+    on-the-fly pair-Gram scratch."""
+    budget = max(128, int(28e6 / (4 * (2 * n + 7 * block))) // 128 * 128)
+    for cand in (2048, 1024, 512, 256, 128):
+        if cand <= budget and q_pad % cand == 0:
+            return cand
+    return None
+
+
+def _select_missing_sweep(cfg: Config, data: Data, mesh=None) -> str:
+    """Exact-missing engine choice: fused Pallas kernel on a real TPU in
+    f32 (single device — mesh paths use the pipelined/GSPMD routes),
+    blocked XLA scan when pair Grams were precomputed, else the
+    per-coordinate scan."""
+    on_accel = jax.devices()[0].platform != "cpu"
+    if (mesh is None and cfg.sweep in ("auto", "fused")
+            and cfg.dtype == jnp.float32 and on_accel
+            and cfg.block_size == 128
+            and data.x.shape[1] % 128 == 0
+            and _mis_fused_q_tile(data.x.shape[0], data.y.shape[1])):
+        return "fused"
+    if data.mis_pair_gram is not None:
+        return "blocked"
+    return "scan"
+
+
 def _select_sweep(cfg: Config, data: Data, mesh=None) -> str:
     """Sweep implementation choice: the fully-fused single-kernel sweep when
     it applies (f32, real TPU, F tile fits VMEM; sharded via shard_map when
@@ -478,6 +522,15 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                 mesh, cfg, data, state, consts, cfg.block_size)
             gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
             mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+        elif _select_missing_sweep(cfg, data, mesh) == "fused":
+            from ..ops.sweep_missing_fused import sweep_missing_fused_driver
+            q_tile = _mis_fused_q_tile(data.x.shape[0], data.y.shape[1])
+            gam_new, mu_new, fitted, z_row, z_col = sweep_missing_fused_driver(
+                data.x, cp_x_y, data.x_norm_sq, data.mis_pat,
+                state.gam, state.mu_beta, state.fitted, consts, sig2_inv,
+                cfg.block_size, p_mask=data.p_mask, q_mask=data.q_mask,
+                q_tile=q_tile, sub=16, qchunk=cfg.sweep_qchunk)
+            # the kernel masks gam/mu at write time
         elif data.mis_pair_gram is not None:
             from ..ops.sweep import sweep_missing_blocked
             gam_new, mu_new, fitted, z_row, z_col = sweep_missing_blocked(

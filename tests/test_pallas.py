@@ -211,3 +211,64 @@ def test_q_padding_per_shard():
     assert 10240 % (256 * 8) == 0
     assert _fused_q_tile(1000, 1280) == 256
     assert _fused_q_tile(1000, 10240) == 2048
+
+
+@pytest.mark.parametrize("c", [1.0, 0.5])
+def test_missing_fused_matches_blocked(c):
+    """The fused exact-missing Pallas kernel (interpret mode) must match
+    the oracle-exact blocked XLA missing sweep: same flat update order,
+    on-the-fly pair Grams vs the precomputed tensor, in-kernel per-(j,k)
+    variance derivation (ops/sweep_missing_fused.py)."""
+    import jax
+    from atlasqtl_tpu.types import Config
+    from atlasqtl_tpu.models import global_local as gl
+    from atlasqtl_tpu.inference import elicitation as elic
+    from atlasqtl_tpu.io.prepare import prepare_data
+    from atlasqtl_tpu.ops.sweep import SweepConsts, sweep_missing_blocked
+    from atlasqtl_tpu.ops.sweep_missing_fused import (
+        sweep_missing_fused_driver)
+    from atlasqtl_tpu.ops.updates import sig2_beta_update
+
+    y, x, _ = simulate_fixture(n=80, p=250, p_act=8, q=40, seed=7,
+                               missing_frac=0.2)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg = Config(dtype=jnp.float32, block_size=128, mis_block=16,
+                 shr_fac_inv=float(q_eff))
+    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=256)
+    assert data.x_norm_sq is not None and data.mis_pair_gram is not None
+    init = elic.auto_set_init(dat.y, p_eff, (3, 10), float(q_eff), 11)
+    state = gl.build_state(init, data, cfg)
+
+    rng = np.random.default_rng(3)
+    q_pad = data.y.shape[1]
+    tau = jnp.asarray(rng.uniform(0.5, 2.0, q_pad), jnp.float32)
+    sig2_inv = jnp.asarray(0.7, jnp.float32)
+    cc = jnp.asarray(c, jnp.float32)
+    s2 = sig2_beta_update(data.n, sig2_inv, tau, data.x_norm_sq, cc)
+    consts = SweepConsts(
+        sig2_beta=s2, tau=tau, log_tau=jnp.log(tau) - 0.1,
+        log_sig2_inv=jnp.asarray(-0.45, jnp.float32),
+        theta=state.theta, zeta=state.zeta, c=cc)
+
+    g_ref, m_ref, f_ref, zr_ref, zc_ref = sweep_missing_blocked(
+        data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat,
+        data.mis_pair_gram, state.gam, state.mu_beta, state.fitted,
+        consts, cfg.mis_block, p_mask=data.p_mask, q_mask=data.q_mask)
+    msk = np.asarray(data.p_mask)[:, None] * np.asarray(data.q_mask)[None, :]
+    g_ref = np.asarray(g_ref) * msk
+    m_ref = np.asarray(m_ref) * msk
+
+    g_f, m_f, f_f, zr_f, zc_f = sweep_missing_fused_driver(
+        data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat,
+        state.gam, state.mu_beta, state.fitted, consts, sig2_inv,
+        cfg.block_size, p_mask=data.p_mask, q_mask=data.q_mask,
+        q_tile=256, sub=16, qchunk=256)
+
+    np.testing.assert_allclose(np.asarray(g_f), g_ref, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(m_f), m_ref * msk, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(zr_f), np.asarray(zr_ref),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(zc_f), np.asarray(zc_ref),
+                               atol=5e-4)
