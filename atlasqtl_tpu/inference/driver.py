@@ -58,19 +58,26 @@ def _anneal_replicas_batched(mod, data, hyper, replica_states, gram_blocks,
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                      *replica_states)
 
-    def one_iter(st, c, c_s, lite):
-        return mod.cavi_iteration(data, hyper, st, gram_blocks, c, c_s,
+    # data/hyper/gram_blocks are explicit jit arguments (closure capture
+    # would bake them into the HLO as multi-GB constants at scale, which
+    # bloats compile payloads enough to break the axon tunnel)
+    def one_iter(st, dat, hyp, gram, c, c_s, lite):
+        return mod.cavi_iteration(dat, hyp, st, gram, c, c_s,
                                   cfg=cfg, annealed=True, mesh=mesh,
                                   lite=lite)
 
     if mesh is None:
-        rung = jax.jit(jax.vmap(one_iter, in_axes=(0, None, None, None)),
-                       donate_argnums=(0,), static_argnums=(3,))
+        _rung = jax.jit(
+            jax.vmap(one_iter, in_axes=(0, None, None, None, None, None,
+                                        None)),
+            donate_argnums=(0,), static_argnums=(6,))
     else:
-        rung = jax.jit(
-            lambda s, c, c_s, lite: jax.lax.map(
-                lambda st: one_iter(st, c, c_s, lite), s),
-            donate_argnums=(0,), static_argnums=(3,))
+        _rung = jax.jit(
+            lambda s, dat, hyp, gram, c, c_s, lite: jax.lax.map(
+                lambda st: one_iter(st, dat, hyp, gram, c, c_s, lite), s),
+            donate_argnums=(0,), static_argnums=(6,))
+    rung = lambda s, c, c_s, lite: _rung(s, data, hyper, gram_blocks, c,
+                                         c_s, lite)
 
     it_local = 0
     n_rungs = len(ladder) - 1
@@ -85,8 +92,9 @@ def _anneal_replicas_batched(mod, data, hyper, replica_states, gram_blocks,
             log.info("Iteration %d (temperature %.4g, %d replicas)",
                      it_local, 1.0 / c, m)
 
-    elbos = jax.jit(lambda s: jax.lax.map(
-        lambda st: mod.compute_elbo(data, hyper, st, cfg=cfg), s))(stacked)
+    elbos = jax.jit(lambda s, dat, hyp: jax.lax.map(
+        lambda st: mod.compute_elbo(dat, hyp, st, cfg=cfg), s))(
+        stacked, data, hyper)
     best = jnp.argmax(elbos)
     state = jax.tree_util.tree_map(lambda a: a[best], stacked)
     if verbose:

@@ -252,10 +252,13 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
         g = shape_param + jnp.sqrt(shape_param) * jax.random.normal(k, size, dt)
         return jnp.maximum(g, 0.1 * shape_param)
 
+    # NB: x/masks/mis_pat must be explicit jit arguments — closure capture
+    # would bake them into the HLO as constants (6 GB of x at pod scale),
+    # which bloats compile payloads enough to break the axon tunnel.
     @jax.jit
-    def _draw(ks):
-        pm = data.p_mask[:, None]
-        qm = data.q_mask[None, :]
+    def _draw(ks, x, p_mask, q_mask, mis_pat):
+        pm = p_mask[:, None]
+        qm = q_mask[None, :]
         gam = ndtr(n0 + (s02 + t02)
                    * jax.random.normal(ks[0], (p_pad, q_pad), dt)) * pm * qm
         mu = jax.random.normal(ks[1], (p_pad, q_pad), dt) * pm * qm
@@ -267,18 +270,18 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
         sig2_beta = 1.0 / (g2 / (sig2_inv0 * tau))
         sig02_inv = _gamma_large(ks[3], float(max(p_true, q_true)), ())
         theta = (jax.random.normal(ks[4], (p_pad,), dt)
-                 / jnp.sqrt(sig02_inv * shr_fac_inv)) * data.p_mask
+                 / jnp.sqrt(sig02_inv * shr_fac_inv)) * p_mask
         sig2_theta = 1.0 / (q_true + _gamma_large(
             ks[5], sig02_inv * shr_fac_inv, (p_pad,)))
         zeta = (n0 + jnp.sqrt(t02)
-                * jax.random.normal(ks[6], (q_pad,), dt)) * data.q_mask
-        fitted = jnp.matmul(data.x, gam * mu, preferred_element_type=dt)
-        if data.x_norm_sq is not None:
-            fitted = fitted * data.mis_pat
+                * jax.random.normal(ks[6], (q_pad,), dt)) * q_mask
+        fitted = jnp.matmul(x, gam * mu, preferred_element_type=dt)
+        if mis_pat is not None:
+            fitted = fitted * mis_pat
         sig2_beta_full = (jnp.broadcast_to(sig2_beta[None, :],
                                            (p_pad, q_pad))
-                          if data.x_norm_sq is not None else sig2_beta)
-        if data.x_norm_sq is None:
+                          if mis_pat is not None else sig2_beta)
+        if mis_pat is None:
             beta0 = gam * mu
             colstats = (jnp.sum(gam, axis=0),
                         jnp.einsum("pq,pq->q", mu * mu, gam),
@@ -297,7 +300,8 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
             nu_s0_vb=jnp.asarray(1.0, dt), rho_s0_vb=jnp.asarray(1.0, dt),
         )
 
-    return _draw(ks)
+    return _draw(ks, data.x, data.p_mask, data.q_mask,
+                 data.mis_pat if data.x_norm_sq is not None else None)
 
 
 def _fused_q_tile(n, q_pad, block=128):

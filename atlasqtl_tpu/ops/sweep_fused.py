@@ -73,7 +73,8 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                   f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
                   ad_scr, imrd_scr, imr0u_scr, dma_sem,
                   *, nb: int, qtiles: int, sub: int, qchunk: int,
-                  mxu_bf16: bool, emit: bool, probe: str = "none"):
+                  mxu_bf16: bool, emit: bool, row_major: bool = False,
+                  probe: str = "none"):
     t = pl.program_id(0)
     b = pl.program_id(1)
     qt = r_scr.shape[1]
@@ -171,6 +172,34 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
     # column — and hence the math — is unchanged.
     qch = min(qchunk, qt)
     nqc = qt // qch
+
+    def _chain_row(row, ql, width):
+        """One coordinate update on columns [ql, ql+width) — the exact
+        per-coordinate CAVI maximizer (src/coreLoop.cpp:47-77)."""
+        r_i = r_scr[row, ql:ql + width]
+        mu_new = ct[ql:ql + width] * (cp_ref[row, ql:ql + width] - r_i)
+        logit = (ad_scr[row, ql:ql + width]
+                 + mu_new * mu_new * c_inv_2s2[ql:ql + width])
+        if probe == "nosig":  # PERF PROBE: no transcendental (wrong)
+            gam_new = jnp.clip(logit, 0.0, 1.0)
+        else:
+            gam_new = jax.nn.sigmoid(logit)
+        delta_i = gam_new * mu_new - beta_ref[row, ql:ql + width]
+        delta_scr[row, ql:ql + width] = delta_i
+        gam_scr[row, ql:ql + width] = gam_new
+        mu_scr[row, ql:ql + width] = mu_new
+        return delta_i
+
+    def _push(row, lo, delta_i, ql, width):
+        # right-looking: push this coordinate's rank-1 correction to the
+        # rest of the window now — ONE broadcast FMA against the Gram
+        # column (the additions land on each row in the same j-ascending
+        # order as the flat sweep, so the result is bitwise identical)
+        gcol = g_ref[row + 1:lo + sub, row]
+        r_scr[row + 1:lo + sub, ql:ql + width] = (
+            r_scr[row + 1:lo + sub, ql:ql + width]
+            + gcol[:, None] * delta_i[None, :])
+
     for s in range(n_sub):
         lo = s * sub
         if lo > 0 and probe != "norank":
@@ -181,33 +210,26 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=r_scr.dtype)
             r_scr[lo:lo + sub, :] = r_scr[lo:lo + sub, :] + corr
-        for qc in range(nqc):
-            ql = qc * qch
-            ct_c = ct[ql:ql + qch]
-            k_c = c_inv_2s2[ql:ql + qch]
+        if row_major:
+            # row-outer / q-chunk-inner: the nqc independent chunk chains
+            # interleave at every coordinate, hiding each other's VPU op
+            # latency (the per-chunk chain is a serial dependency).  Column
+            # update order is unchanged — the math is identical.
             for i in range(sub):
                 row = lo + i
-                r_i = r_scr[row, ql:ql + qch]
-                mu_new = ct_c * (cp_ref[row, ql:ql + qch] - r_i)
-                logit = ad_scr[row, ql:ql + qch] + mu_new * mu_new * k_c
-                if probe == "nosig":  # PERF PROBE: no transcendental (wrong)
-                    gam_new = jnp.clip(logit, 0.0, 1.0)
-                else:
-                    gam_new = jax.nn.sigmoid(logit)
-                delta_i = gam_new * mu_new - beta_ref[row, ql:ql + qch]
-                delta_scr[row, ql:ql + qch] = delta_i
-                gam_scr[row, ql:ql + qch] = gam_new
-                mu_scr[row, ql:ql + qch] = mu_new
+                deltas = [_chain_row(row, qc * qch, qch)
+                          for qc in range(nqc)]
                 if i < sub - 1 and probe != "noseq":
-                    # right-looking: push this coordinate's rank-1 correction
-                    # to the rest of the window now — ONE broadcast FMA
-                    # against the Gram column (the additions land on each row
-                    # in the same j-ascending order as the flat sweep, so the
-                    # result is bitwise identical)
-                    gcol = g_ref[lo + i + 1:lo + sub, row]
-                    r_scr[lo + i + 1:lo + sub, ql:ql + qch] = (
-                        r_scr[lo + i + 1:lo + sub, ql:ql + qch]
-                        + gcol[:, None] * delta_i[None, :])
+                    for qc in range(nqc):
+                        _push(row, lo, deltas[qc], qc * qch, qch)
+        else:
+            for qc in range(nqc):
+                ql = qc * qch
+                for i in range(sub):
+                    row = lo + i
+                    delta_i = _chain_row(row, ql, qch)
+                    if i < sub - 1 and probe != "noseq":
+                        _push(row, lo, delta_i, ql, qch)
 
     # ---- advance the resident F tile (MXU) ----
     if probe == "nomxu":  # PERF PROBE: no F advance (wrong math)
@@ -225,17 +247,25 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
             preferred_element_type=f_scr.dtype)
 
     # ---- mask at write time + fused column statistics ----
+    # The masks ride the reduction dots: pm/qm are 0/1 and idempotent, so
+    # e.g. sum_j (gam*msk)_jk = qm_k * sum_j pm_j gam_jk — the pm weight
+    # becomes the lhs of a (1, B) @ (B, QT) MXU dot and the qm factor a
+    # (1, QT) vector op, replacing ~7 VPU passes over the tile.
     msk = pm[:, None] * qm[None, :]
-    gam_m = gam_scr[:, :] * msk
-    mu_m = mu_scr[:, :] * msk
-    beta_m = gam_m * mu_m
+    t_bm = gam_scr[:, :] * mu_scr[:, :]              # unmasked beta
+    beta_m = t_bm * msk
     beta_out_ref[:, :] = beta_m
     if emit:
-        gam_out_ref[:, :] = gam_m
-        mu_out_ref[:, :] = mu_m
-    gcol = jnp.sum(gam_m, axis=0)                    # (QT,)
-    m2gcol = jnp.sum(mu_m * mu_m * gam_m, axis=0)
-    b2col = jnp.sum(beta_m * beta_m, axis=0)
+        gam_out_ref[:, :] = gam_scr[:, :] * msk
+        mu_out_ref[:, :] = mu_scr[:, :] * msk
+    pm_row = pm.reshape(1, bsz)
+    rdot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=r_scr.dtype)
+    gcol = rdot(pm_row, gam_scr[:, :])[0] * qm               # (QT,)
+    m2gcol = rdot(pm_row, t_bm * mu_scr[:, :])[0] * qm
+    b2col = rdot(pm_row, t_bm * t_bm)[0] * qm
 
     @pl.when(b == 0)
     def _():
@@ -253,14 +283,17 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
     # z = gam*(imr1 - imr0) + imr0 + u at uc = sqrt(c) u, rescaled by
     # 1/sqrt(c) — all folded into the interpolated imrd/imr0u tiles
     # (ops/interp.py), so annealed and converged phases share this line.
+    # masked z = msk*(gam_m*imrd + imr0u) = msk*(gam*imrd + imr0u) since
+    # msk^2 = msk, so the sums take the same pm-dot / qm-scale route.
     if probe in ("exact_noz", "jacobi_min", "nomxu", "noseq", "nosig",
                  "norank"):
-        z = gam_m  # PERF PROBE: skip the Z Mills ratios (wrong math)
+        z_raw = gam_scr[:, :]  # PERF PROBE: skip the Z Mills (wrong math)
     else:
-        z = (gam_m * imrd_scr[:, :] + imr0u_scr[:, :]) * msk
+        z_raw = gam_scr[:, :] * imrd_scr[:, :] + imr0u_scr[:, :]
 
-    zr = jnp.sum(z, axis=1)                 # (B,)
-    zc = jnp.sum(z, axis=0)                 # (QT,)
+    z_qm = z_raw * qm[None, :]
+    zr = jnp.sum(z_qm, axis=1) * pm         # (B,)
+    zc = rdot(pm_row, z_qm)[0]              # (QT,)
 
     @pl.when(t == 0)
     def _():
@@ -294,13 +327,14 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "q_tile", "sub", "qchunk",
-                                    "mxu_bf16", "emit_gam_mu", "probe"))
+                                    "mxu_bf16", "emit_gam_mu", "row_major",
+                                    "probe"))
 def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
                 pm8, zeta, q_mask, sig2_beta, tau, c, kz,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
                 qchunk: int = 512,
                 mxu_bf16: bool = False, emit_gam_mu: bool = True,
-                probe: str = "none"):
+                row_major: bool = False, probe: str = "none"):
     """One full Gauss-Seidel sweep (+ fused Z/column reductions) as a single
     pallas_call.
 
@@ -358,7 +392,7 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
     out = pl.pallas_call(
         functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub,
                           qchunk=qchunk, mxu_bf16=mxu_bf16, emit=emit_gam_mu,
-                          probe=probe),
+                          row_major=row_major, probe=probe),
         grid=(qtiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
@@ -426,7 +460,8 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
                          q_tile: int = 1024, sub: int = 16,
                          qchunk: int = 512, interp_r: int = 40,
                          mxu_bf16: bool = False, emit_gam_mu: bool = True,
-                         annealed: bool = False, probe: str = "none"):
+                         row_major: bool = False, annealed: bool = False,
+                         probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_complete, carrying
     beta = gam * mu_beta (see module docstring).  `annealed` is accepted
     for interface parity but unused: the interpolation node builder handles
@@ -457,4 +492,4 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
         consts.zeta, q_mask, consts.sig2_beta, consts.tau, consts.c, kz,
         block_size=block_size, q_tile=q_tile, sub=sub,
         qchunk=qchunk, mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu,
-        probe=probe)
+        row_major=row_major, probe=probe)

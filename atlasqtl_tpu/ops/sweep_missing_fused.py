@@ -116,14 +116,15 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
 
         # on-the-fly masked pair Grams: strip j holds pairs (i > j, j),
         # contiguous, so each in-chain correction is one slab FMA
-        strips = [xw[:, j + 1:sub] * xw[:, j:j + 1]
-                  for j in range(sub - 1)]
-        strips.append(jnp.zeros((n, np_pad - npairs), xw.dtype))
-        pmat = jnp.concatenate(strips, axis=1)            # (n, np_pad)
-        hwin = jax.lax.dot_general(
-            pmat, m_ref[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=r_scr.dtype)           # (np_pad, qt)
+        if probe not in ("noseq", "noh"):
+            strips = [xw[:, j + 1:sub] * xw[:, j:j + 1]
+                      for j in range(sub - 1)]
+            strips.append(jnp.zeros((n, np_pad - npairs), xw.dtype))
+            pmat = jnp.concatenate(strips, axis=1)        # (n, np_pad)
+            hwin = jax.lax.dot_general(
+                pmat, m_ref[:, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=r_scr.dtype)       # (np_pad, qt)
 
         for qc in range(nqc):
             ql = qc * qch
@@ -151,7 +152,7 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
                 mskr = pm[row] * qm[ql:ql + qch]
                 gam_out_ref[row, ql:ql + qch] = gam_new * mskr
                 mu_out_ref[row, ql:ql + qch] = mu_new * mskr
-                if i < sub - 1 and probe != "noseq":
+                if i < sub - 1 and probe not in ("noseq", "noh"):
                     # pairs (i' > i, i) are rows [off, off + sub-1-i)
                     r_scr[row + 1:lo + sub, ql:ql + qch] = (
                         r_scr[row + 1:lo + sub, ql:ql + qch]
@@ -160,11 +161,15 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
                 off += sub - 1 - i
 
         # masked rank-`sub` advance of the resident Fm tile
-        tdelta = jax.lax.dot_general(
-            xw, delta_scr[lo:lo + sub, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f_scr.dtype)
-        f_scr[:, :] = f_scr[:, :] + m_ref[:, :] * tdelta
+        if probe != "noadv":  # PERF PROBE noadv: skip advance (wrong math)
+            tdelta = jax.lax.dot_general(
+                xw, delta_scr[lo:lo + sub, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f_scr.dtype)
+            if probe == "noadvmask":  # PERF PROBE: unmasked (wrong math)
+                f_scr[:, :] = f_scr[:, :] + tdelta
+            else:
+                f_scr[:, :] = f_scr[:, :] + m_ref[:, :] * tdelta
 
     # ---- Z-moment tile reduction (reference: R/update_vb.R:217-234) ----
     msk = pm[:, None] * qm[None, :]

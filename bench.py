@@ -120,7 +120,7 @@ def _fit_bench(n, p, q, label, seed=0, fdr_call=False, perm=False):
            "converged": bool(res.converged),
            "it_per_s": round(res.it / dt, 2)}
     if fdr_call:
-        hot = res.hotspot_sizes(thres=0.5, fdr_adjust=True, fdr=0.05)
+        hot = res.hotspot_sizes(thres=0.05, fdr_adjust=True)  # 5% bFDR
         out["hotspots_called"] = int((hot > 0).sum())
     if perm:
         rng = np.random.default_rng(seed + 1)
@@ -161,14 +161,18 @@ def main():
                                        "vs_complete": round(ms_m / ms, 2)}
         except Exception as e:  # noqa: BLE001
             configs["eqtl_missing"] = {"error": f"{type(e).__name__}: {e}"}
-        try:
-            ms_5, byt_5 = _iter_bench(5000, 300_000, 1024, iters=3)
-            configs["pod_slice"] = {
-                "n": 5000, "p": 300_000, "q": 1024,
-                "ms_per_iter": round(ms_5, 2),
-                "hbm_gbps": round(byt_5 / (ms_5 * 1e-3) / 1e9, 1)}
-        except Exception as e:  # noqa: BLE001
-            configs["pod_slice"] = {"error": f"{type(e).__name__}: {e}"}
+        for attempt in (0, 1):  # one retry: the axon tunnel drops
+            try:                # long-lived connections transiently
+                ms_5, byt_5 = _iter_bench(5000, 300_000, 1024, iters=3)
+                configs["pod_slice"] = {
+                    "n": 5000, "p": 300_000, "q": 1024,
+                    "ms_per_iter": round(ms_5, 2),
+                    "hbm_gbps": round(byt_5 / (ms_5 * 1e-3) / 1e9, 1)}
+                break
+            except Exception as e:  # noqa: BLE001
+                configs["pod_slice"] = {"error": f"{type(e).__name__}: {e}"}
+                if attempt == 0:
+                    time.sleep(30)
 
     print(json.dumps({
         "metric": f"cavi_iters_per_s_n{n}_p{p}_q{q}",
