@@ -53,6 +53,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -74,7 +76,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                   ad_scr, imrd_scr, imr0u_scr, dma_sem,
                   *, nb: int, qtiles: int, sub: int, qchunk: int,
                   mxu_bf16: bool, emit: bool, row_major: bool = False,
-                  probe: str = "none"):
+                  push_aligned: bool = True, probe: str = "none"):
     t = pl.program_id(0)
     b = pl.program_id(1)
     qt = r_scr.shape[1]
@@ -195,10 +197,27 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
         # rest of the window now — ONE broadcast FMA against the Gram
         # column (the additions land on each row in the same j-ascending
         # order as the flat sweep, so the result is bitwise identical)
-        gcol = g_ref[row + 1:lo + sub, row]
-        r_scr[row + 1:lo + sub, ql:ql + width] = (
-            r_scr[row + 1:lo + sub, ql:ql + width]
-            + gcol[:, None] * delta_i[None, :])
+        if push_aligned:
+            # widen the slab down to the previous 8-row (sublane) boundary
+            # so the FMA is always sublane-aligned; rows <= i get a
+            # trace-time-zero Gram weight, making their add a +0.0 no-op
+            # (exact: x + 0.0 == x for all finite x and the residuals are
+            # finite by the monotonicity guard's invariant)
+            i = row - lo
+            start = lo + ((i + 1) // 8) * 8
+            rows = lo + sub - start
+            idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) \
+                + (start - lo)
+            gcol = jnp.where(idx > i, g_ref[start:lo + sub, row][:, None],
+                             jnp.zeros((), r_scr.dtype))
+            r_scr[start:lo + sub, ql:ql + width] = (
+                r_scr[start:lo + sub, ql:ql + width]
+                + gcol * delta_i[None, :])
+        else:
+            gcol = g_ref[row + 1:lo + sub, row]
+            r_scr[row + 1:lo + sub, ql:ql + width] = (
+                r_scr[row + 1:lo + sub, ql:ql + width]
+                + gcol[:, None] * delta_i[None, :])
 
     for s in range(n_sub):
         lo = s * sub
@@ -328,13 +347,14 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "q_tile", "sub", "qchunk",
                                     "mxu_bf16", "emit_gam_mu", "row_major",
-                                    "probe"))
+                                    "push_aligned", "probe"))
 def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
                 pm8, zeta, q_mask, sig2_beta, tau, c, kz,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
                 qchunk: int = 512,
                 mxu_bf16: bool = False, emit_gam_mu: bool = True,
-                row_major: bool = False, probe: str = "none"):
+                row_major: bool = False, push_aligned: bool = True,
+                probe: str = "none"):
     """One full Gauss-Seidel sweep (+ fused Z/column reductions) as a single
     pallas_call.
 
@@ -392,7 +412,8 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
     out = pl.pallas_call(
         functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub,
                           qchunk=qchunk, mxu_bf16=mxu_bf16, emit=emit_gam_mu,
-                          row_major=row_major, probe=probe),
+                          row_major=row_major, push_aligned=push_aligned,
+                          probe=probe),
         grid=(qtiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
@@ -460,8 +481,8 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
                          q_tile: int = 1024, sub: int = 16,
                          qchunk: int = 512, interp_r: int = 40,
                          mxu_bf16: bool = False, emit_gam_mu: bool = True,
-                         row_major: bool = False, annealed: bool = False,
-                         probe: str = "none"):
+                         row_major: bool = False, push_aligned: bool = True,
+                         annealed: bool = False, probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_complete, carrying
     beta = gam * mu_beta (see module docstring).  `annealed` is accepted
     for interface parity but unused: the interpolation node builder handles
@@ -492,4 +513,4 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
         consts.zeta, q_mask, consts.sig2_beta, consts.tau, consts.c, kz,
         block_size=block_size, q_tile=q_tile, sub=sub,
         qchunk=qchunk, mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu,
-        row_major=row_major, probe=probe)
+        row_major=row_major, push_aligned=push_aligned, probe=probe)

@@ -55,7 +55,7 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
                 gam_out_ref, mu_out_ref, f_out_ref, zrow_ref, zcol_ref,
                 # scratch
                 f_scr, r_scr, delta_scr, ad_scr, imrd_scr, imr0u_scr,
-                zrow_scr, dma_sem,
+                ct_scr, zrow_scr, dma_sem,
                 *, nb: int, qtiles: int, sub: int, qchunk: int,
                 probe: str = "none"):
     t = pl.program_id(0)
@@ -105,6 +105,35 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
     half_c = 0.5 * c
     c2_half = 0.5 * c * c
 
+    # hoist the per-(j,k) variance pieces out of the sequential chain:
+    # den = x_norm_sq + sig2_inv is iteration-constant within the sweep, so
+    # ct = 1/den (the c*s2*tau factor) is computed here as a FULL-TILE pass
+    # and -c/2 log(den) folds straight into the ad tile — (1, qch) row ops
+    # use one sublane in eight, so tile-wide evaluation is ~8x cheaper
+    den_t = xns_ref[:, :] + sig2_inv
+    ct_scr[:, :] = 1.0 / den_t
+    ad_scr[:, :] = ad_scr[:, :] - half_c * jnp.log(den_t)
+
+    # on-the-fly masked pair Grams for ALL windows, hoisted ahead of the
+    # sequential sweep: H depends only on x and the resident mask tile
+    # (never on the advancing Fm or the chain), so issuing every pair dot
+    # up front gives the scheduler maximal room to overlap the MXU pair
+    # work with the VPU chain.  Strip j of window w holds pairs (i > j, j),
+    # contiguous, so each in-chain correction is one slab FMA.
+    hwins = []
+    if probe not in ("noseq", "noh"):
+        for w in range(n_win):
+            lo = w * sub
+            xw = x_ref[:, lo:lo + sub]
+            strips = [xw[:, j + 1:sub] * xw[:, j:j + 1]
+                      for j in range(sub - 1)]
+            strips.append(jnp.zeros((n, np_pad - npairs), xw.dtype))
+            pmat = jnp.concatenate(strips, axis=1)        # (n, np_pad)
+            hwins.append(jax.lax.dot_general(
+                pmat, m_ref[:, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=r_scr.dtype))      # (np_pad, qt)
+
     for w in range(n_win):
         lo = w * sub
         xw = x_ref[:, lo:lo + sub]                        # (n, sub)
@@ -114,17 +143,8 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=r_scr.dtype)
 
-        # on-the-fly masked pair Grams: strip j holds pairs (i > j, j),
-        # contiguous, so each in-chain correction is one slab FMA
         if probe not in ("noseq", "noh"):
-            strips = [xw[:, j + 1:sub] * xw[:, j:j + 1]
-                      for j in range(sub - 1)]
-            strips.append(jnp.zeros((n, np_pad - npairs), xw.dtype))
-            pmat = jnp.concatenate(strips, axis=1)        # (n, np_pad)
-            hwin = jax.lax.dot_general(
-                pmat, m_ref[:, :],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=r_scr.dtype)       # (np_pad, qt)
+            hwin = hwins[w]
 
         for qc in range(nqc):
             ql = qc * qch
@@ -137,15 +157,16 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
                 beta_old = gam_ref[row, ql:ql + qch] * mu_ref[row,
                                                              ql:ql + qch]
                 r_i = r_i - beta_old * xns
-                den = xns + sig2_inv
-                ct = 1.0 / den                 # = c * s2 * tau
-                mu_new = ct * (cp_ref[row, ql:ql + qch] - r_i)
+                ct = ct_scr[row, ql:ql + qch]  # 1/den = c * s2 * tau
+                d_i = cp_ref[row, ql:ql + qch] - r_i
+                mu_new = ct * d_i
                 # the k-rank-1 part of the logit constant (E[log tau],
                 # E[log sig2_inv], log c and the point-tau of log s2) is
-                # folded into the interpolated ad tile by the driver; only
-                # the per-(j,k) log(x_norm_sq + sig2_inv) remains here
-                logit = (ad_scr[row, ql:ql + qch] - half_c * jnp.log(den)
-                         + mu_new * mu_new * (c2_half * tau_c * den))
+                # folded into the interpolated ad tile by the driver; the
+                # per-(j,k) log(den) term was folded into ad_scr above, and
+                # mu^2 * den == mu * d_i (mu = d_i/den) avoids the divide
+                logit = (ad_scr[row, ql:ql + qch]
+                         + (c2_half * tau_c) * (mu_new * d_i))
                 gam_new = jax.nn.sigmoid(logit)
                 delta_i = gam_new * mu_new - beta_old
                 delta_scr[row, ql:ql + qch] = delta_i
@@ -278,6 +299,7 @@ def sweep_missing_fused(x, cp_x_y, x_norm_sq, mis_pat, l_aug, n_stack,
             pltpu.VMEM((block_size, q_tile), dt),   # c*d(u) logit tile
             pltpu.VMEM((block_size, q_tile), dt),   # interp imrd tile
             pltpu.VMEM((block_size, q_tile), dt),   # interp imr0u tile
+            pltpu.VMEM((block_size, q_tile), dt),   # hoisted ct = 1/den
             pltpu.VMEM((1, p), dt),                 # z_row accumulator
             pltpu.SemaphoreType.DMA,
         ],

@@ -106,7 +106,7 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
 
     if use_fused:
         tile_fn = partial(_tile_sweep_fused, q_tile=qt, sub=cfg.sweep_sub,
-                          qchunk=cfg.sweep_qchunk,
+                          qchunk=cfg.sweep_qchunk or 512,
                           mxu_bf16=cfg.mxu_bf16, annealed=annealed)
     else:
         tile_fn = _tile_sweep_xla

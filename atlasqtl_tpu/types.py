@@ -152,7 +152,8 @@ class Config:
     mxu_bf16: bool = False   # bfloat16 inputs (f32 accumulation) for the two
                              # large MXU contractions of the fused sweep
     sweep_sub: int = 16      # sub-block (unrolled window) of the fused sweep
-    sweep_qchunk: int = 512  # q-chunk of the fused sweep's sequential chain
+    sweep_qchunk: int = 0    # q-chunk of the fused sweep's sequential
+    # chain; 0 = auto (1024 for q_tile >= 4096, else 512 — measured best)
                              # (keeps per-row live vectors in vregs)
     debug: bool = True
     thinned_elbo_eval: bool = True

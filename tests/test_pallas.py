@@ -89,9 +89,9 @@ def test_sweep_selection_logic():
         cfg = Config(dtype=jnp.float32, sweep=choice)
         assert _select_sweep(cfg, FakeData(100, 256, 512)) == choice
     # tile sizing respects the VMEM budget and divisibility
-    assert _fused_q_tile(1000, 10240) == 2048
-    assert _fused_q_tile(5000, 10240) == 1024
-    assert _fused_q_tile(50000, 10240) == 128   # F tile bound by big n
+    assert _fused_q_tile(1000, 10240) == 5120
+    assert _fused_q_tile(5000, 10240) == 2048
+    assert _fused_q_tile(50000, 10240) == 256   # F tile bound by big n
     assert _fused_q_tile(1000, 10000) is None   # no aligned divisor
 
 
