@@ -320,9 +320,10 @@ def _fused_q_tile(n, q_pad, block=128):
 
 def _fused_qchunk(q_tile):
     """Chain q-chunking: wider chunks amortize per-row overheads once the
-    tile is large (measured: qc1024 beats qc512 at qt=5120; below that
-    qc512 wins the register-pressure tradeoff)."""
-    return 1024 if q_tile >= 4096 else 512
+    tile is large (measured at qt=5120: qc2560 27.9 ms < qc1024 31.0 <
+    qc512 32.6; below qt=4096 qc512 wins the register-pressure
+    tradeoff)."""
+    return q_tile // 2 if q_tile >= 4096 else 512
 
 
 def _mis_fused_q_tile(n, q_pad, block=128):

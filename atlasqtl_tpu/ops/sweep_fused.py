@@ -76,7 +76,8 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                   ad_scr, imrd_scr, imr0u_scr, dma_sem,
                   *, nb: int, qtiles: int, sub: int, qchunk: int,
                   mxu_bf16: bool, emit: bool, row_major: bool = False,
-                  push_aligned: bool = True, probe: str = "none"):
+                  push_aligned: bool = True, chain_regs: bool = True,
+                  c_one: bool = False, probe: str = "none"):
     t = pl.program_id(0)
     b = pl.program_id(1)
     qt = r_scr.shape[1]
@@ -112,10 +113,20 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
             preferred_element_type=r_scr.dtype)
         u2 = u * u
         s_d = jnp.sqrt(u2 + K_BASE)
-        ad_scr[:, :] = c * (0.5 * u * s_d) + dot(l_blk, n_ref[0])
-        s_z = jnp.sqrt(u2 + kz)
-        imrd_scr[:, :] = s_z + dot(l_blk, n_ref[1])
-        imr0u_scr[:, :] = dot(l_blk, n_ref[2]) - 0.5 * (s_z + u)
+        h = 0.5 * u
+        if c_one:
+            # converged phase (c == 1, the vast majority of iterations):
+            # kz == K_BASE so s_z == s_d — one sqrt and the c-multiplies
+            # disappear (~3 fewer full-tile passes)
+            ad_scr[:, :] = h * s_d + dot(l_blk, n_ref[0])
+            hsd = 0.5 * s_d
+            imrd_scr[:, :] = s_d + dot(l_blk, n_ref[1])
+            imr0u_scr[:, :] = dot(l_blk, n_ref[2]) - hsd - h
+        else:
+            ad_scr[:, :] = c * (h * s_d) + dot(l_blk, n_ref[0])
+            s_z = jnp.sqrt(u2 + kz)
+            imrd_scr[:, :] = s_z + dot(l_blk, n_ref[1])
+            imr0u_scr[:, :] = dot(l_blk, n_ref[2]) - 0.5 * s_z - h
     else:  # PERF PROBE: skip the probit tiles (wrong math)
         ad_scr[:, :] = u
 
@@ -229,7 +240,38 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=r_scr.dtype)
             r_scr[lo:lo + sub, :] = r_scr[lo:lo + sub, :] + corr
-        if row_major:
+        if chain_regs:
+            # register-carried window chain: the window's residual block
+            # lives as ONE (sub, qch) SSA value — a (16, 512) f32 value is
+            # just 8 full-density vregs — so every right-looking push is a
+            # pure register FMA instead of a load+FMA+store against the
+            # r_scr ref.  The push deliberately updates ALL sub rows with
+            # the raw Gram column: rows <= i were already consumed (their
+            # r was extracted before the push), so their garbage values
+            # are dead — live rows receive exactly the same adds in the
+            # same order as the flat sweep (bitwise identical).
+            for qc in range(nqc):
+                ql = qc * qch
+                ct_c = ct[ql:ql + qch]
+                k_c = c_inv_2s2[ql:ql + qch]
+                rblk = r_scr[lo:lo + sub, ql:ql + qch]
+                for i in range(sub):
+                    row = lo + i
+                    mu_new = ct_c * (cp_ref[row, ql:ql + qch] - rblk[i])
+                    logit = (ad_scr[row, ql:ql + qch]
+                             + mu_new * mu_new * k_c)
+                    if probe == "nosig":  # PERF PROBE (wrong math)
+                        gam_new = jnp.clip(logit, 0.0, 1.0)
+                    else:
+                        gam_new = jax.nn.sigmoid(logit)
+                    delta_i = gam_new * mu_new - beta_ref[row, ql:ql + qch]
+                    delta_scr[row, ql:ql + qch] = delta_i
+                    gam_scr[row, ql:ql + qch] = gam_new
+                    mu_scr[row, ql:ql + qch] = mu_new
+                    if i < sub - 1 and probe != "noseq":
+                        rblk = (rblk + g_ref[lo:lo + sub, row][:, None]
+                                * delta_i[None, :])
+        elif row_major:
             # row-outer / q-chunk-inner: the nqc independent chunk chains
             # interleave at every coordinate, hiding each other's VPU op
             # latency (the per-chunk chain is a serial dependency).  Column
@@ -347,13 +389,15 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "q_tile", "sub", "qchunk",
                                     "mxu_bf16", "emit_gam_mu", "row_major",
-                                    "push_aligned", "probe"))
+                                    "push_aligned", "chain_regs", "c_one",
+                                    "probe"))
 def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
                 pm8, zeta, q_mask, sig2_beta, tau, c, kz,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
                 qchunk: int = 512,
                 mxu_bf16: bool = False, emit_gam_mu: bool = True,
                 row_major: bool = False, push_aligned: bool = True,
+                chain_regs: bool = True, c_one: bool = False,
                 probe: str = "none"):
     """One full Gauss-Seidel sweep (+ fused Z/column reductions) as a single
     pallas_call.
@@ -413,7 +457,7 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
         functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub,
                           qchunk=qchunk, mxu_bf16=mxu_bf16, emit=emit_gam_mu,
                           row_major=row_major, push_aligned=push_aligned,
-                          probe=probe),
+                          chain_regs=chain_regs, c_one=c_one, probe=probe),
         grid=(qtiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
@@ -482,12 +526,13 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
                          qchunk: int = 512, interp_r: int = 40,
                          mxu_bf16: bool = False, emit_gam_mu: bool = True,
                          row_major: bool = False, push_aligned: bool = True,
-                         annealed: bool = False, probe: str = "none"):
+                         chain_regs: bool = True, annealed: bool = False,
+                         probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_complete, carrying
-    beta = gam * mu_beta (see module docstring).  `annealed` is accepted
-    for interface parity but unused: the interpolation node builder handles
-    any inverse temperature c through consts.c."""
-    del annealed
+    beta = gam * mu_beta (see module docstring).  annealed=False asserts
+    the converged phase, where the driver always passes c == 1 — the
+    kernel specializes on that (one shared sqrt base, no c multiplies);
+    annealed=True takes the general tempered path for any consts.c."""
     n, p = x.shape
     q = beta.shape[1]
     nb = p // block_size
@@ -513,4 +558,5 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
         consts.zeta, q_mask, consts.sig2_beta, consts.tau, consts.c, kz,
         block_size=block_size, q_tile=q_tile, sub=sub,
         qchunk=qchunk, mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu,
-        row_major=row_major, push_aligned=push_aligned, probe=probe)
+        row_major=row_major, push_aligned=push_aligned,
+        chain_regs=chain_regs, c_one=not annealed, probe=probe)

@@ -114,25 +114,27 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
     ct_scr[:, :] = 1.0 / den_t
     ad_scr[:, :] = ad_scr[:, :] - half_c * jnp.log(den_t)
 
-    # on-the-fly masked pair Grams for ALL windows, hoisted ahead of the
-    # sequential sweep: H depends only on x and the resident mask tile
-    # (never on the advancing Fm or the chain), so issuing every pair dot
-    # up front gives the scheduler maximal room to overlap the MXU pair
-    # work with the VPU chain.  Strip j of window w holds pairs (i > j, j),
-    # contiguous, so each in-chain correction is one slab FMA.
-    hwins = []
-    if probe not in ("noseq", "noh"):
-        for w in range(n_win):
-            lo = w * sub
-            xw = x_ref[:, lo:lo + sub]
-            strips = [xw[:, j + 1:sub] * xw[:, j:j + 1]
-                      for j in range(sub - 1)]
-            strips.append(jnp.zeros((n, np_pad - npairs), xw.dtype))
-            pmat = jnp.concatenate(strips, axis=1)        # (n, np_pad)
-            hwins.append(jax.lax.dot_general(
-                pmat, m_ref[:, :],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=r_scr.dtype))      # (np_pad, qt)
+    # on-the-fly masked pair Grams: strip j of a window holds pairs
+    # (i > j, j), contiguous, so each in-chain correction is one slab FMA
+    def _pair_dot(w):
+        lo = w * sub
+        xw = x_ref[:, lo:lo + sub]
+        strips = [xw[:, j + 1:sub] * xw[:, j:j + 1]
+                  for j in range(sub - 1)]
+        strips.append(jnp.zeros((n, np_pad - npairs), xw.dtype))
+        pmat = jnp.concatenate(strips, axis=1)            # (n, np_pad)
+        return jax.lax.dot_general(
+            pmat, m_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=r_scr.dtype)           # (np_pad, qt)
+
+    # The masked pair dot is the kernel's dominant cost (~87 of ~173 ms at
+    # the bench shape) and is irreducible here: it is consumed at the
+    # start of each window's chain, and every scheduling variant measured
+    # WORSE — hoisting all eight window dots spilled (222 ms), one-ahead
+    # software pipelining still serialized (185 ms; Mosaic completes MXU
+    # ops in order), and a split-bf16 dot lost to the f32 dot (209 ms).
+    do_h = probe not in ("noseq", "noh")
 
     for w in range(n_win):
         lo = w * sub
@@ -143,8 +145,8 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=r_scr.dtype)
 
-        if probe not in ("noseq", "noh"):
-            hwin = hwins[w]
+        if do_h:
+            hwin = _pair_dot(w)
 
         for qc in range(nqc):
             ql = qc * qch

@@ -90,7 +90,7 @@ def test_sweep_selection_logic():
         assert _select_sweep(cfg, FakeData(100, 256, 512)) == choice
     # tile sizing respects the VMEM budget and divisibility
     assert _fused_q_tile(1000, 10240) == 5120
-    assert _fused_q_tile(5000, 10240) == 2048
+    assert _fused_q_tile(5000, 10240) == 2560
     assert _fused_q_tile(50000, 10240) == 256   # F tile bound by big n
     assert _fused_q_tile(1000, 10000) is None   # no aligned divisor
 
@@ -210,7 +210,7 @@ def test_q_padding_per_shard():
     # q=10k, 8 shards, 256/shard rule -> q_pad 10240, q_local 1280
     assert 10240 % (256 * 8) == 0
     assert _fused_q_tile(1000, 1280) == 256
-    assert _fused_q_tile(1000, 10240) == 2048
+    assert _fused_q_tile(1000, 10240) == 5120
 
 
 @pytest.mark.parametrize("c", [1.0, 0.5])
