@@ -52,7 +52,7 @@ def _sim(n, p, q, p_act=None, seed=0, missing_frac=0.0):
     return x, y
 
 
-def _iter_bench(n, p, q, iters=5, missing_frac=0.0):
+def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
     """Steady-state lite-iteration timing at (n, p, q); returns
     (ms_per_iter, bytes_per_iter)."""
     import jax
@@ -64,7 +64,8 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0):
 
     x, y = _sim(n, p, q, missing_frac=missing_frac)
     cfg = Config(dtype=jnp.float32, block_size=128, shr_fac_inv=float(q),
-                 missing="impute" if missing_frac else "exact")
+                 missing="exact" if (exact_missing or not missing_frac)
+                 else "impute")
     data = gl.build_data(x, y, cfg, q_pad_to=512)
     state = gl.auto_init_device(0, data, (5.0, 25.0), float(q), cfg)
     hyper = gl.build_hyper(elic.auto_set_hyper(
@@ -161,6 +162,16 @@ def main():
                                        "vs_complete": round(ms_m / ms, 2)}
         except Exception as e:  # noqa: BLE001
             configs["eqtl_missing"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            # exact-missing engine (fused masked-F kernel), same shape
+            ms_x, _ = _iter_bench(n, p, q, iters=3, missing_frac=0.15,
+                                  exact_missing=True)
+            configs["eqtl_missing_exact"] = {
+                "ms_per_iter": round(ms_x, 2),
+                "vs_complete": round(ms_x / ms, 2)}
+        except Exception as e:  # noqa: BLE001
+            configs["eqtl_missing_exact"] = {
+                "error": f"{type(e).__name__}: {e}"}
         for attempt in (0, 1):  # one retry: the axon tunnel drops
             try:                # long-lived connections transiently
                 ms_5, byt_5 = _iter_bench(5000, 300_000, 1024, iters=3)
