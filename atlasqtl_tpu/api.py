@@ -38,7 +38,8 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
              batch: str = "y", mesh=None,
              model: str = "global_local", df: int = 1,
              anneal_replicas: int = 1,
-             missing: str = "exact") -> AtlasQTLResult:
+             missing: str = "exact",
+             device_loop: str = "auto") -> AtlasQTLResult:
     """Fit the global-local hotspot model (reference: atlasqtl, R/atlasqtl.R).
 
     Extra TPU-native knobs: `dtype` (jnp.float32 default; jnp.float64 for
@@ -102,15 +103,12 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
         raise ValueError("df must be an odd natural number (1, 3, 5, ...)")
     if missing not in ("exact", "impute"):
         raise ValueError("missing must be 'exact' or 'impute'")
-    if missing == "impute" and model == "global":
-        raise NotImplementedError(
-            "missing='impute' is only implemented for the global-local model")
     has_p_axis = mesh is not None and "p" in mesh.axis_names
     cfg = Config(block_size=(1 if batch == "0" else block_size), dtype=dtype,
                  tol=float(tol), maxit=int(maxit), df=int(df),
                  shr_fac_inv=shr_fac_inv,
                  thinned_elbo_eval=thinned_elbo_eval, debug=True,
-                 missing=missing,
+                 missing=missing, device_loop=device_loop,
                  q_axis=None if mesh is None else "q",
                  p_axis="p" if has_p_axis else None)
 
@@ -202,5 +200,12 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
         list_hyper=hyper_spec if save_hyper else None,
         list_init=init_spec if save_init else None,
         full_state=res.state if full_output else None,
+        full_output=None if not full_output else _full_out(
+            data, hyper, res.state, cfg, model),
     )
     return result
+
+
+def _full_out(data, hyper, state, cfg, model):
+    from .inference.full_output import assemble_full_output
+    return assemble_full_output(data, hyper, state, cfg, model=model)

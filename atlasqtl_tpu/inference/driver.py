@@ -135,6 +135,9 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
 
     eps = float(np.finfo(np.float64).eps) ** 0.5
 
+    from .device_loop import ELBO_BUF, eligible, get_loops
+    use_dev = eligible(cfg, checkpointer, tracer, verbose, data)
+
     if cfg.thinned_elbo_eval:
         times_sched = np.array([1.0, 5.0, 10.0, 50.0])
         batch_sched = np.array([1, 10, 25, 50])
@@ -179,6 +182,18 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
             state, it = _anneal_replicas_batched(
                 mod, data, hyper, replica_states, gram_blocks, ladder, cfg,
                 mesh, verbose)
+        elif use_dev:
+            anneal_scan, _ = get_loops(mod)
+            cs = np.asarray(ladder[:-1], np.float64)
+            css = cs if cfg.anneal_scale else np.ones_like(cs)
+            state = anneal_scan(data, hyper, state, gram_blocks,
+                                jnp.asarray(cs, cfg.dtype),
+                                jnp.asarray(css, cfg.dtype), cfg=cfg,
+                                mesh=mesh)
+            it = len(ladder) - 1
+            if verbose:
+                log.info("Annealing ladder: %d rungs in one device dispatch",
+                         it)
         else:
             state, it = anneal_one(state, tracer)
         if verbose:
@@ -187,6 +202,47 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
         it_init = 1
 
     # ------------------------------------------------- converged CAVI phase
+    if use_dev:
+        _, converged_loop = get_loops(mod)
+        edt = cfg.elbo_dtype if jax.config.jax_enable_x64 else cfg.dtype
+        (state, it_d, lb_d, conv_d, dlb_d, nev_d, ebuf, ibuf,
+         mono_d) = converged_loop(
+            data, hyper, state, gram_blocks,
+            jnp.asarray(it, jnp.int32), jnp.asarray(it_init, jnp.int32),
+            jnp.asarray(cfg.maxit, jnp.int32),
+            jnp.asarray(times_sched, edt),
+            jnp.asarray(batch_sched, jnp.int32), cfg=cfg, mesh=mesh)
+        it = int(it_d)
+        lb_new = float(lb_d)
+        converged = bool(conv_d)
+        diff_lb = float(dlb_d)
+        nev = min(int(nev_d), ELBO_BUF)
+        its_h = np.asarray(ibuf[:nev]).tolist()
+        lbs_h = np.asarray(ebuf[:nev], np.float64).tolist()
+        elbo_history.extend(zip((int(i) for i in its_h), lbs_h))
+        if verbose and nev:
+            for it_e, lb_e in elbo_history[-nev:]:
+                log.info("Iteration %d: ELBO = %.6f", it_e, lb_e)
+        if cfg.debug and bool(mono_d):
+            lo, hi, it_bad = math.nan, math.nan, it
+            for k in range(1, nev):
+                if lbs_h[k] + eps < lbs_h[k - 1]:
+                    lo, hi, it_bad = lbs_h[k - 1], lbs_h[k], its_h[k]
+                    break
+            raise ElboDecreaseError(
+                f"ELBO not increasing monotonically at iteration {it_bad}: "
+                f"{lo:.10g} -> {hi:.10g}")
+        if verbose:
+            if converged:
+                log.info("Convergence obtained after %d iterations. "
+                         "ELBO = %.6f", it, lb_new)
+            else:
+                log.warning("Maximal number of iterations reached before "
+                            "convergence. Exit.")
+        return FitResult(state=state, converged=converged, it=it,
+                         lb_opt=lb_new, diff_lb=diff_lb,
+                         elbo_history=elbo_history)
+
     diff_lb_final = math.inf
     ckpt_rate = getattr(checkpointer, "rate", 1) if checkpointer else 0
     while not converged and it < cfg.maxit:

@@ -56,6 +56,9 @@ class AtlasQTLResult:
     list_hyper: Optional[object] = None
     list_init: Optional[object] = None
     full_state: Optional[object] = None
+    full_output: Optional[dict] = None  # reference-named internal list
+    # (R/atlasqtl_global_local_core.R:404-410), unpadded float64 — see
+    # inference/full_output.py
 
     # ------------------------------------------------------------ methods
     def __repr__(self):  # print.atlasqtl (R/summarise_output.R:14-59)

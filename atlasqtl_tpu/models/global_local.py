@@ -544,7 +544,8 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                 data.x, cp_x_y, data.x_norm_sq, data.mis_pat,
                 state.gam, state.mu_beta, state.fitted, consts, sig2_inv,
                 cfg.block_size, p_mask=data.p_mask, q_mask=data.q_mask,
-                q_tile=q_tile, sub=16,
+                q_tile=q_tile, sub=cfg.mis_sub, wgroup=cfg.mis_wgroup,
+                pair_bf16=cfg.mis_pair_bf16,
                 qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile))
             # the kernel masks gam/mu at write time
         elif data.mis_pair_gram is not None:

@@ -45,6 +45,21 @@ def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
     (gam_colsum, m2b_colsum, m2b, beta2_colsum, yf_colsum, ff_colsum,
      beta) = _colsum_stats(data, state)
 
+    # VB-imputation of missing responses (missing="impute"): fold the
+    # q(y_mis) moments into the complete-data sufficient statistics — the
+    # same scheme as the global-local engine (models/global_local.py)
+    impute = data.mis_pat is not None and data.x_norm_sq is None
+    cp_x_y = data.cp_x_y
+    y_norm_sq = data.y_norm_sq
+    if impute:
+        v_mis = 1.0 / (c * state.tau)
+        y_eff = data.y + (1.0 - data.mis_pat) * state.fitted
+        cp_x_y = jnp.einsum("np,nq->pq", data.x, y_eff,
+                            preferred_element_type=dt)
+        y_norm_sq = (jnp.einsum("nq,nq->q", y_eff, y_eff)
+                     + data.n_mis * v_mis)
+        yf_colsum = jnp.einsum("nq,nq->q", y_eff, state.fitted)
+
     sum_gam = jnp.sum(gam_colsum * data.q_mask)
     nu_vb = upd.nu_update(hyper.nu, sum_gam, c)
     rho_vb = upd.rho_update(hyper.rho, m2b_colsum, state.tau, data.q_mask, c)
@@ -52,7 +67,7 @@ def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
 
     eta_vb = upd.eta_update(data.n_eff, hyper.eta, gam_colsum, c)
     if data.x_norm_sq is None:
-        kappa_vb = upd.kappa_update(data.n, data.y_norm_sq, yf_colsum,
+        kappa_vb = upd.kappa_update(data.n, y_norm_sq, yf_colsum,
                                     ff_colsum, hyper.kappa, m2b_colsum,
                                     beta2_colsum, sig2_inv, c)
     else:
@@ -71,14 +86,23 @@ def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
     consts = SweepConsts(sig2_beta=sig2_beta, tau=tau, log_tau=log_tau,
                          log_sig2_inv=log_sig2_inv, theta=state.theta,
                          zeta=state.zeta, c=c)
-    if data.mis_pat is None:
+    beta_new = colstats = None
+    if data.x_norm_sq is None:  # complete data or VB-impute
         block = gram_blocks.shape[1]
         gam_new, mu_new, fitted, z_row, z_col = sweep_complete(
-            data.x, data.cp_x_y, gram_blocks, state.gam, state.mu_beta,
+            data.x, cp_x_y, gram_blocks, state.gam, state.mu_beta,
             state.fitted, consts, block,
             p_mask=data.p_mask, q_mask=data.q_mask)
         gam_new = gam_new * data.p_mask[:, None] * data.q_mask[None, :]
         mu_new = mu_new * data.p_mask[:, None] * data.q_mask[None, :]
+        # carry the same column statistics / beta product as the
+        # global-local engine so the state pytree structure is loop-stable
+        # (device-resident scan/while_loop) and the next iteration skips
+        # the (p, q) einsums
+        beta_new = gam_new * mu_new
+        colstats = (jnp.sum(gam_new, axis=0),
+                    jnp.einsum("pq,pq->q", mu_new * mu_new, gam_new),
+                    jnp.einsum("pq,pq->q", beta_new, beta_new))
     else:
         gam_new, mu_new, fitted = sweep_missing(
             data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat, state.gam,
@@ -113,7 +137,10 @@ def _iteration_impl(data: Data, hyper: Hyper, state: VBState, gram_blocks,
         sig2_inv=sig2_inv, theta=theta, zeta=zeta, sig02_inv=sig02_inv,
         lam2_inv=state.lam2_inv, sig2_theta=sig2_theta, fitted=fitted,
         l_vb=state.l_vb, rho_xi_inv=state.rho_xi_inv, nu_s0_vb=nu_s0_vb,
-        rho_s0_vb=rho_s0_vb,
+        rho_s0_vb=rho_s0_vb, beta=beta_new,
+        gam_colsum=None if colstats is None else colstats[0],
+        mu2gam_colsum=None if colstats is None else colstats[1],
+        beta2_colsum=None if colstats is None else colstats[2],
     )
 
 
@@ -144,9 +171,23 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
      beta) = _colsum_stats(data64, state64, use_cached=False)
     sum_gam = jnp.sum(gam_colsum * data64.q_mask)
 
+    # VB-impute: re-derived q(y_mis) moments + imputation-factor entropy
+    # (same family as models/global_local.py:compute_elbo)
+    impute = data.mis_pat is not None and data.x_norm_sq is None
+    y_norm_sq = data64.y_norm_sq
+    entropy_y_mis = jnp.zeros((), dt)
+    if impute:
+        n_mis = f(data.n_mis)
+        v_mis = 1.0 / state64.tau
+        y_eff = data64.y + (1.0 - data64.mis_pat) * state64.fitted
+        y_norm_sq = jnp.einsum("nq,nq->q", y_eff, y_eff) + n_mis * v_mis
+        yf_colsum = jnp.einsum("nq,nq->q", y_eff, state64.fitted)
+        entropy_y_mis = 0.5 * jnp.sum(
+            n_mis * (jnp.log(2.0 * jnp.pi * v_mis) + 1.0) * data64.q_mask)
+
     eta_vb = upd.eta_update(data64.n_eff, hyper64.eta, gam_colsum)
     if data64.x_norm_sq is None:
-        kappa_vb = upd.kappa_update(data64.n, data64.y_norm_sq, yf_colsum,
+        kappa_vb = upd.kappa_update(data64.n, y_norm_sq, yf_colsum,
                                     ff_colsum, hyper64.kappa, m2b_colsum,
                                     beta2_colsum, state64.sig2_inv)
     else:
@@ -205,4 +246,5 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
     term_g = elbo_ops.e_sig2_inv(jnp.asarray(NU_S0, dt), state64.nu_s0_vb,
                                  log_sig02_inv, jnp.asarray(RHO_S0, dt),
                                  state64.rho_s0_vb, state64.sig02_inv)
-    return (term_a + term_b + term_c + term_d + term_e + term_f + term_g)
+    return (term_a + term_b + term_c + term_d + term_e + term_f + term_g
+            + entropy_y_mis)

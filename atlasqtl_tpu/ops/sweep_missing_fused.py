@@ -57,6 +57,7 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
                 f_scr, r_scr, delta_scr, ad_scr, imrd_scr, imr0u_scr,
                 ct_scr, zrow_scr, dma_sem,
                 *, nb: int, qtiles: int, sub: int, qchunk: int,
+                wgroup: int = 1, pair_bf16: bool = False,
                 probe: str = "none"):
     t = pl.program_id(0)
     b = pl.program_id(1)
@@ -100,7 +101,13 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
     nqc = qt // qch
     n_win = bsz // sub
     npairs = sub * (sub - 1) // 2
-    np_pad = ((npairs + 127) // 128) * 128
+    # `wgroup` windows share ONE pair-Gram MXU dot: the strips are pure
+    # data (x, mask — no deltas), so batching them is free of ordering
+    # constraints and amortizes the 128-lane minimum of the dot's lhs.
+    # sub=8/wgroup=4 packs 4 x 28 = 112 pairs into the same (n, 128) dot a
+    # single sub=16 window (120 pairs) needed — HALF the pair MACs per
+    # predictor (p * sub/2 * n * q total).
+    np_pad = ((wgroup * npairs + 127) // 128) * 128
 
     half_c = 0.5 * c
     c2_half = 0.5 * c * c
@@ -114,26 +121,37 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
     ct_scr[:, :] = 1.0 / den_t
     ad_scr[:, :] = ad_scr[:, :] - half_c * jnp.log(den_t)
 
-    # on-the-fly masked pair Grams: strip j of a window holds pairs
-    # (i > j, j), contiguous, so each in-chain correction is one slab FMA
-    def _pair_dot(w):
-        lo = w * sub
-        xw = x_ref[:, lo:lo + sub]
-        strips = [xw[:, j + 1:sub] * xw[:, j:j + 1]
-                  for j in range(sub - 1)]
-        strips.append(jnp.zeros((n, np_pad - npairs), xw.dtype))
+    # on-the-fly masked pair Grams for `wgroup` windows at once, strips
+    # window-major; within a window strip j holds pairs (i > j, j),
+    # contiguous, so each in-chain correction is one slab FMA
+    def _pair_dot(g):
+        strips = []
+        for w in range(g * wgroup, (g + 1) * wgroup):
+            lo = w * sub
+            xw = x_ref[:, lo:lo + sub]
+            strips += [xw[:, j + 1:sub] * xw[:, j:j + 1]
+                       for j in range(sub - 1)]
+        strips.append(jnp.zeros((n, np_pad - wgroup * npairs), x_ref.dtype))
         pmat = jnp.concatenate(strips, axis=1)            # (n, np_pad)
+        if pair_bf16:
+            # mask entries (0/1) are exact in bfloat16; only the x-product
+            # strips are rounded.  f32 accumulation on the MXU.
+            return jax.lax.dot_general(
+                pmat.astype(jnp.bfloat16), m_ref[:, :].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=r_scr.dtype)       # (np_pad, qt)
         return jax.lax.dot_general(
             pmat, m_ref[:, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=r_scr.dtype)           # (np_pad, qt)
 
-    # The masked pair dot is the kernel's dominant cost (~87 of ~173 ms at
-    # the bench shape) and is irreducible here: it is consumed at the
-    # start of each window's chain, and every scheduling variant measured
-    # WORSE — hoisting all eight window dots spilled (222 ms), one-ahead
-    # software pipelining still serialized (185 ms; Mosaic completes MXU
-    # ops in order), and a split-bf16 dot lost to the f32 dot (209 ms).
+    # The masked pair dot is the kernel's dominant cost and is MXU-FLOP
+    # bound: p * (sub/2) * n * q MACs per iteration.  sub=8/wgroup=4
+    # halves it vs the round-3 sub=16 layout at identical lane occupancy;
+    # schedule variants that measured WORSE in round 3: hoisting all
+    # windows of a block (spilled, 222 ms), one-ahead software pipelining
+    # (185 ms; Mosaic completes MXU ops in order), split-bf16 error-
+    # compensated dot (209 ms).
     do_h = probe not in ("noseq", "noh")
 
     for w in range(n_win):
@@ -145,8 +163,9 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=r_scr.dtype)
 
-        if do_h:
-            hwin = _pair_dot(w)
+        if do_h and w % wgroup == 0:
+            hgrp = _pair_dot(w // wgroup)
+        hbase = (w % wgroup) * npairs
 
         for qc in range(nqc):
             ql = qc * qch
@@ -176,10 +195,11 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
                 gam_out_ref[row, ql:ql + qch] = gam_new * mskr
                 mu_out_ref[row, ql:ql + qch] = mu_new * mskr
                 if i < sub - 1 and probe not in ("noseq", "noh"):
-                    # pairs (i' > i, i) are rows [off, off + sub-1-i)
+                    # pairs (i' > i, i) are rows [hbase+off, +sub-1-i)
                     r_scr[row + 1:lo + sub, ql:ql + qch] = (
                         r_scr[row + 1:lo + sub, ql:ql + qch]
-                        + hwin[off:off + sub - 1 - i, ql:ql + qch]
+                        + hgrp[hbase + off:hbase + off + sub - 1 - i,
+                               ql:ql + qch]
                         * delta_i[None, :])
                 off += sub - 1 - i
 
@@ -232,12 +252,13 @@ def _mis_kernel(scal_ref, x_ref, l_ref, n_ref, cp_ref, gam_ref, mu_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "q_tile", "sub", "qchunk",
-                                    "probe"))
+                                    "wgroup", "pair_bf16", "probe"))
 def sweep_missing_fused(x, cp_x_y, x_norm_sq, mis_pat, l_aug, n_stack,
                         gam, mu, fitted_masked, theta8, pm8, zeta, q_mask,
                         tau, c, kz, sig2_inv,
                         block_size: int = 128, q_tile: int = 1024,
                         sub: int = 16, qchunk: int = 512,
+                        wgroup: int = 1, pair_bf16: bool = False,
                         probe: str = "none"):
     """One exact-missing Gauss-Seidel sweep (+ fused Z reductions) as a
     single pallas_call.  Returns (gam', mu', fitted_masked', z_row, z_col).
@@ -250,6 +271,7 @@ def sweep_missing_fused(x, cp_x_y, x_norm_sq, mis_pat, l_aug, n_stack,
     r_aug = l_aug.shape[1]
     sub = min(sub, block_size)
     assert block_size % sub == 0, (block_size, sub)
+    assert (block_size // sub) % wgroup == 0, (block_size, sub, wgroup)
     interpret = jax.devices()[0].platform == "cpu"
 
     scal = jnp.stack([jnp.asarray(c, dt), jnp.asarray(kz, dt),
@@ -264,7 +286,8 @@ def sweep_missing_fused(x, cp_x_y, x_norm_sq, mis_pat, l_aug, n_stack,
 
     out = pl.pallas_call(
         functools.partial(_mis_kernel, nb=nb, qtiles=qtiles, sub=sub,
-                          qchunk=qchunk, probe=probe),
+                          qchunk=qchunk, wgroup=wgroup, pair_bf16=pair_bf16,
+                          probe=probe),
         grid=(qtiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
@@ -320,8 +343,9 @@ def sweep_missing_fused(x, cp_x_y, x_norm_sq, mis_pat, l_aug, n_stack,
 def sweep_missing_fused_driver(x, cp_x_y, x_norm_sq, mis_pat, gam, mu,
                                fitted_masked, consts, sig2_inv,
                                block_size, p_mask=None, q_mask=None,
-                               q_tile: int = 1024, sub: int = 16,
+                               q_tile: int = 1024, sub: int = 8,
                                qchunk: int = 512, interp_r: int = 40,
+                               wgroup: int = 4, pair_bf16: bool = False,
                                probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_missing_blocked.
 
@@ -357,4 +381,4 @@ def sweep_missing_fused_driver(x, cp_x_y, x_norm_sq, mis_pat, gam, mu,
         fitted_masked, theta8, pm8, consts.zeta, q_mask, consts.tau,
         consts.c, kz, sig2_inv,
         block_size=block_size, q_tile=q_tile, sub=sub, qchunk=qchunk,
-        probe=probe)
+        wgroup=wgroup, pair_bf16=pair_bf16, probe=probe)

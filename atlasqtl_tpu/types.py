@@ -148,6 +148,14 @@ class Config:
                          # precomputed pair-Gram tensor costs
                          # (mis_block-1)/2 * p * q memory (1 -> per-
                          # coordinate scan, no precompute)
+    mis_sub: int = 8     # window size of the FUSED exact-missing kernel —
+                         # pair-Gram MXU MACs scale as p * mis_sub/2 * n * q
+    mis_wgroup: int = 4  # windows batched per pair-Gram dot (lane packing)
+    mis_pair_bf16: bool = False  # bfloat16 inputs (f32 accumulation) for
+                                 # the masked pair-Gram dot — ~4x MXU rate,
+                                 # rounds the correction coefficients to
+                                 # ~3 decimal digits (validate via the
+                                 # ELBO monotonicity guard)
     anneal_scale: bool = True
     mxu_bf16: bool = False   # bfloat16 inputs (f32 accumulation) for the two
                              # large MXU contractions of the fused sweep
@@ -157,6 +165,10 @@ class Config:
                              # (keeps per-row live vectors in vregs)
     debug: bool = True
     thinned_elbo_eval: bool = True
+    device_loop: str = "auto"  # "auto" | "on" | "off": run the annealing
+    # ladder and the converged phase as single device dispatches
+    # (lax.scan / lax.while_loop) when no host hook (checkpoint/trace/
+    # verbose-2) needs to interleave — see inference/device_loop.py
     q_axis: Optional[str] = None   # mesh axis name for trait sharding
     p_axis: Optional[str] = None   # mesh axis name for predictor sharding
                                    # (2-D pod-scale mesh; pipelined sweep)

@@ -78,11 +78,21 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
     state = step(state)
     _ = float(jnp.sum(state.theta))  # forced readback: axon's
     # block_until_ready can return before execution completes
-    t0 = time.time()
-    for _ in range(iters):
-        state = step(state)
-    _ = float(jnp.sum(state.theta))
-    dt = (time.time() - t0) / iters
+    # Median-of-k timing discipline (VERDICT r3 weak #7): a wedged
+    # background job on the shared chip inflates a single 5-iteration
+    # window silently; three independent windows expose it.
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            state = step(state)
+        _ = float(jnp.sum(state.theta))
+        reps.append((time.time() - t0) / iters)
+    reps.sort()
+    dt = reps[1]  # median of 3
+    # steady-state sanity: the three windows run the identical compiled
+    # step, so spread beyond ~20% means external contamination
+    unstable = reps[2] > 1.2 * reps[0]
 
     # ELBO sanity on a full iteration
     state = gl.cavi_iteration_donated(data, hyper, state, gram, 1.0, 1.0,
@@ -102,7 +112,8 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
                  + ntiles * (n_pad * p_pad + p_pad * 128)
                  + 2 * n_pad * q_pad        # F in/out
                  + 5 * n_pad * q_pad)       # y.F, F.F colsums + impute reads
-    return dt * 1e3, byt
+    return dt * 1e3, byt, {"timing_reps_ms": [round(r * 1e3, 2) for r in reps],
+                           "unstable": bool(unstable)}
 
 
 def _fit_bench(n, p, q, label, seed=0, fdr_call=False, perm=False):
@@ -139,13 +150,13 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 5))
 
     configs = {}
-    ms, byt = _iter_bench(n, p, q, iters=iters)
+    ms, byt, diag = _iter_bench(n, p, q, iters=iters)
     hbm_gbps = byt / (ms * 1e-3) / 1e9
     roofline = hbm_gbps / V5E_HBM_GBPS
     configs["eqtl_1host"] = {"n": n, "p": p, "q": q,
                              "ms_per_iter": round(ms, 2),
                              "hbm_gbps": round(hbm_gbps, 1),
-                             "roofline_frac": round(roofline, 3)}
+                             "roofline_frac": round(roofline, 3), **diag}
 
     if not fast:
         for key, args in (
@@ -157,28 +168,29 @@ def main():
             except Exception as e:  # noqa: BLE001 — report, don't die
                 configs[key] = {"error": f"{type(e).__name__}: {e}"}
         try:
-            ms_m, _ = _iter_bench(n, p, q, iters=iters, missing_frac=0.15)
+            ms_m, _, dg = _iter_bench(n, p, q, iters=iters, missing_frac=0.15)
             configs["eqtl_missing"] = {"ms_per_iter": round(ms_m, 2),
-                                       "vs_complete": round(ms_m / ms, 2)}
+                                       "vs_complete": round(ms_m / ms, 2),
+                                       **dg}
         except Exception as e:  # noqa: BLE001
             configs["eqtl_missing"] = {"error": f"{type(e).__name__}: {e}"}
         try:
             # exact-missing engine (fused masked-F kernel), same shape
-            ms_x, _ = _iter_bench(n, p, q, iters=3, missing_frac=0.15,
-                                  exact_missing=True)
+            ms_x, _, dg = _iter_bench(n, p, q, iters=3, missing_frac=0.15,
+                                      exact_missing=True)
             configs["eqtl_missing_exact"] = {
                 "ms_per_iter": round(ms_x, 2),
-                "vs_complete": round(ms_x / ms, 2)}
+                "vs_complete": round(ms_x / ms, 2), **dg}
         except Exception as e:  # noqa: BLE001
             configs["eqtl_missing_exact"] = {
                 "error": f"{type(e).__name__}: {e}"}
         for attempt in (0, 1):  # one retry: the axon tunnel drops
             try:                # long-lived connections transiently
-                ms_5, byt_5 = _iter_bench(5000, 300_000, 1024, iters=3)
+                ms_5, byt_5, dg = _iter_bench(5000, 300_000, 1024, iters=3)
                 configs["pod_slice"] = {
                     "n": 5000, "p": 300_000, "q": 1024,
                     "ms_per_iter": round(ms_5, 2),
-                    "hbm_gbps": round(byt_5 / (ms_5 * 1e-3) / 1e9, 1)}
+                    "hbm_gbps": round(byt_5 / (ms_5 * 1e-3) / 1e9, 1), **dg}
                 break
             except Exception as e:  # noqa: BLE001
                 configs["pod_slice"] = {"error": f"{type(e).__name__}: {e}"}

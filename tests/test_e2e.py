@@ -224,3 +224,63 @@ def test_missing_impute_mode():
     res_e = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
                         user_seed=11, maxit=600, missing="exact")
     assert np.abs(res_i.gam_vb - res_e.gam_vb).mean() < 0.03
+
+
+def test_global_model_impute_mode():
+    """missing='impute' on the global-scale-only model (surface symmetry
+    with the reference's uniform missing handling,
+    R/atlasqtl_global_core.R:19-38): monotone ELBO + convergence."""
+    y, x, p_act = simulate_fixture(missing_frac=0.15, seed=5)
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=11, maxit=600, missing="impute",
+                      model="global")
+    assert res.converged
+    assert _monotone(res.elbo_history)
+    res_e = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                        user_seed=11, maxit=600, missing="exact",
+                        model="global")
+    assert np.abs(res.gam_vb - res_e.gam_vb).mean() < 0.03
+
+
+def test_full_output_dict(fixture_small):
+    """full_output returns the reference-named internal list
+    (R/atlasqtl_global_local_core.R:404-410), unpadded."""
+    y, x, _ = fixture_small
+    n, p = x.shape
+    q = y.shape[1]
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123, full_output=True)
+    fo = res.full_output
+    expected = {"beta_vb", "eta_vb", "gam_vb", "kappa_vb", "lam2_inv_vb",
+                "nu_s0_vb", "nu_vb", "nu_xi_inv_vb", "rho_s0_vb", "rho_vb",
+                "rho_xi_inv_vb", "shr_fac_inv", "sig02_inv_vb",
+                "sig2_beta_vb", "sig2_inv_vb", "sig2_theta_vb",
+                "sig2_zeta_vb", "tau_vb", "theta_vb", "cp_Y_X", "cp_X",
+                "cp_X_Xbeta", "xi_inv_vb", "zeta_vb"}
+    assert set(fo) == expected
+    assert fo["gam_vb"].shape == (p, q)
+    assert fo["cp_Y_X"].shape == (q, p)
+    assert fo["cp_X"].shape == (p, p)
+    assert fo["cp_X_Xbeta"].shape == (p, q)
+    np.testing.assert_allclose(fo["gam_vb"], res.gam_vb, atol=1e-12)
+    # cp_X_Xbeta == X^T X beta: check against direct dense computation
+    xs = (x - x.mean(0)) / x.std(0, ddof=1)
+    np.testing.assert_allclose(
+        fo["cp_X_Xbeta"], xs.T @ (xs @ fo["beta_vb"]), rtol=1e-8, atol=1e-8)
+    # Gamma factors positive, shapes right
+    assert fo["eta_vb"].shape == (q,) and (fo["eta_vb"] > 0).all()
+    assert fo["kappa_vb"].shape == (q,) and (fo["kappa_vb"] > 0).all()
+    assert fo["nu_vb"] > 0 and fo["rho_vb"] > 0
+    assert fo["nu_xi_inv_vb"] == 1.0
+
+
+def test_full_output_dict_global(fixture_small):
+    y, x, _ = fixture_small
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123, full_output=True, model="global")
+    expected = {"beta_vb", "eta_vb", "gam_vb", "kappa_vb", "nu_s0_vb",
+                "nu_vb", "rho_s0_vb", "rho_vb", "shr_fac_inv",
+                "sig02_inv_vb", "sig2_beta_vb", "sig2_inv_vb",
+                "sig2_theta_vb", "sig2_zeta_vb", "tau_vb", "theta_vb",
+                "zeta_vb"}
+    assert set(res.full_output) == expected

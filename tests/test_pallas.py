@@ -213,8 +213,12 @@ def test_q_padding_per_shard():
     assert _fused_q_tile(1000, 10240) == 5120
 
 
-@pytest.mark.parametrize("c", [1.0, 0.5])
-def test_missing_fused_matches_blocked(c):
+@pytest.mark.parametrize("c,sub,wgroup", [
+    (1.0, 16, 1), (0.5, 16, 1),       # round-3 layout
+    (1.0, 8, 4), (0.5, 8, 4),         # production layout (half pair MACs)
+    (1.0, 4, 8),                      # deep batching
+])
+def test_missing_fused_matches_blocked(c, sub, wgroup):
     """The fused exact-missing Pallas kernel (interpret mode) must match
     the oracle-exact blocked XLA missing sweep: same flat update order,
     on-the-fly pair Grams vs the precomputed tensor, in-kernel per-(j,k)
@@ -263,7 +267,7 @@ def test_missing_fused_matches_blocked(c):
         data.x, data.cp_x_y, data.x_norm_sq, data.mis_pat,
         state.gam, state.mu_beta, state.fitted, consts, sig2_inv,
         cfg.block_size, p_mask=data.p_mask, q_mask=data.q_mask,
-        q_tile=256, sub=16, qchunk=256)
+        q_tile=256, sub=sub, wgroup=wgroup, qchunk=256)
 
     np.testing.assert_allclose(np.asarray(g_f), g_ref, atol=5e-5)
     np.testing.assert_allclose(np.asarray(m_f), m_ref * msk, atol=5e-4)

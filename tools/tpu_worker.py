@@ -30,6 +30,12 @@ print("worker ready, devices:", jax.devices(), flush=True)
 SHARED: dict = {"__name__": "__tpu_job__"}
 
 while True:
+    # clean shutdown request (touch <job_dir>/STOP): finish nothing new and
+    # exit, releasing the device before e.g. a driver bench snapshot
+    if os.path.exists(os.path.join(job_dir, "STOP")):
+        os.remove(os.path.join(job_dir, "STOP"))
+        print("STOP requested, exiting", flush=True)
+        break
     jobs = sorted(f for f in os.listdir(job_dir)
                   if f.endswith(".py") and not f.endswith(".done.py"))
     if not jobs:
