@@ -33,23 +33,40 @@ from jax.sharding import PartitionSpec as P
 from ..ops.sweep import SweepConsts, sweep_complete
 
 
-def pick_q_tile(q_local: int, p_shards: int, n: int, prefer_fused: bool):
-    """Tile width: divides q_local, and small enough that T = q_local/qt
-    keeps the pipeline busy (T >= 2P when possible).  The fused kernel
-    additionally wants 128-multiples and an F tile within ~6 MB of VMEM."""
+def pick_q_tile(q_local: int, p_shards: int, n: int, prefer_fused: bool,
+                step_overhead_qcols: float = 0.0):
+    """Tile width: divides q_local; the fused kernel additionally wants
+    128-multiples and an F tile within ~6 MB of VMEM.
+
+    Cost model (measured, tools/measure_pipeline.py → docs/DESIGN.md S6):
+    one iteration costs (P + T - 1) pipeline steps of
+    (tile compute  +  fixed per-step overhead), i.e.
+
+        time(T) ∝ (P + T - 1) * (q_local / T  +  A)
+
+    with A = `step_overhead_qcols` the per-step overhead expressed in
+    q-columns-of-tile-compute.  Larger T shrinks the (P-1)-step fill/drain
+    bubble but pays A more often — the r3 observation that T=8 ran slower
+    than T=4 on the CPU mesh is exactly this tradeoff (A_cpu ~ 15 qcols).
+    With A > 0 the candidate minimizing the model is chosen; A = 0 keeps
+    the asymptotic rule T >= 2P (valid when overhead << tile compute,
+    i.e. real ICI at production tiles)."""
     if prefer_fused:
         cands = [c for c in (1024, 512, 256, 128)
                  if c <= max(128, int(6e6 / (4 * n)) // 128 * 128)]
     else:
         cands = [1024, 512, 256, 128, 64, 32, 16, 8]
-    best = None
-    for c in cands:
-        if q_local % c == 0:
-            if best is None:
-                best = c
-            if q_local // c >= 2 * p_shards:
-                return c
-    return best
+    divisors = [c for c in cands if q_local % c == 0]
+    if not divisors:
+        return None
+    if step_overhead_qcols > 0.0:
+        model = lambda c: ((p_shards + q_local // c - 1)
+                           * (c + step_overhead_qcols))
+        return min(divisors, key=model)
+    for c in divisors:
+        if q_local // c >= 2 * p_shards:
+            return c
+    return divisors[-1]
 
 
 def _tile_sweep_xla(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
@@ -100,7 +117,8 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
     on_accel = jax.devices()[0].platform != "cpu"
     use_fused = (cfg.dtype == jnp.float32 and on_accel
                  and cfg.sweep in ("auto", "fused"))
-    qt = pick_q_tile(q_local, P_sh, n, use_fused)
+    qt = pick_q_tile(q_local, P_sh, n, use_fused,
+                 cfg.pipeline_step_overhead_qcols)
     assert qt is not None, (q_local, P_sh)
     T = q_local // qt
 
@@ -221,7 +239,8 @@ def pipelined_sweep_missing_2d(mesh, cfg, data, state, consts, block):
     Q_sh = mesh.shape[qax]
     n = data.x.shape[0]
     q_local = data.y.shape[1] // Q_sh
-    qt = pick_q_tile(q_local, P_sh, n, False)
+    qt = pick_q_tile(q_local, P_sh, n, False,
+                 cfg.pipeline_step_overhead_qcols)
     assert qt is not None, (q_local, P_sh)
     T = q_local // qt
     mis_block = (cfg.mis_block if data.mis_pair_gram is not None else 1)

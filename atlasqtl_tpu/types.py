@@ -159,7 +159,10 @@ class Config:
     anneal_scale: bool = True
     mxu_bf16: bool = False   # bfloat16 inputs (f32 accumulation) for the two
                              # large MXU contractions of the fused sweep
-    sweep_sub: int = 16      # sub-block (unrolled window) of the fused sweep
+    sweep_sub: int = 8       # sub-block (unrolled window) of the fused sweep
+    # (probe-attributed r4: sub=8 29.5 ms vs sub=16 30.7 at the eQTL bench
+    # shape — smaller windows halve the right-looking push FMAs; the extra
+    # left-looking MXU corrections ride under the VPU-bound chain)
     sweep_qchunk: int = 0    # q-chunk of the fused sweep's sequential
     # chain; 0 = auto (1024 for q_tile >= 4096, else 512 — measured best)
                              # (keeps per-row live vectors in vregs)
@@ -172,3 +175,8 @@ class Config:
     q_axis: Optional[str] = None   # mesh axis name for trait sharding
     p_axis: Optional[str] = None   # mesh axis name for predictor sharding
                                    # (2-D pod-scale mesh; pipelined sweep)
+    pipeline_step_overhead_qcols: float = 0.0  # per-pipeline-step fixed
+    # overhead in q-columns-of-tile-compute units (parallel/pipeline.py:
+    # pick_q_tile cost model; 0 = asymptotic T >= 2P rule).  Calibrate
+    # with tools/measure_pipeline.py — the 8-virtual-device CPU mesh
+    # measures ~15 qcols (docs/DESIGN.md S6); real ICI is far smaller.

@@ -53,6 +53,45 @@ def main():
     state0 = pmesh.shard_state(state0, mesh)
 
     q_local = data.y.shape[1] // mesh.shape["q"]
+
+    # ---- single-tile compute baseline (no mesh, no pipeline): the pure
+    # per-step compute b*qt that the per-step decomposition subtracts ----
+    from atlasqtl_tpu.ops.sweep import SweepConsts, sweep_complete
+    p_local = data.x.shape[1] // p_shards
+    x_l = data.x[:, :p_local]
+    gram_l = gram[: p_local // cfg.block_size]
+    q_pad = data.y.shape[1]
+    consts = SweepConsts(
+        sig2_beta=jnp.full((q_pad,), 0.01, cfg.dtype),
+        tau=jnp.ones((q_pad,), cfg.dtype),
+        log_tau=jnp.zeros((q_pad,), cfg.dtype),
+        log_sig2_inv=jnp.asarray(0.0, cfg.dtype),
+        theta=state0.theta[:p_local], zeta=state0.zeta,
+        c=jnp.asarray(1.0, cfg.dtype))
+    tile_ms = {}
+    for qt in (256, 128, 64, 32):
+        if q_local % qt:
+            continue
+        import functools
+        consts_t = SweepConsts(
+            sig2_beta=consts.sig2_beta[:qt], tau=consts.tau[:qt],
+            log_tau=consts.log_tau[:qt], log_sig2_inv=consts.log_sig2_inv,
+            theta=consts.theta, zeta=consts.zeta[:qt], c=consts.c)
+        args = (x_l, data.cp_x_y[:p_local, :qt], gram_l,
+                state0.gam[:p_local, :qt], state0.mu_beta[:p_local, :qt],
+                state0.fitted[:, :qt])
+        args = jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), jax.devices()[0]), args)
+        f = jax.jit(functools.partial(sweep_complete, consts=consts_t,
+                                      block_size=cfg.block_size))
+        out = f(*args)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(3):
+            out = f(*args)
+        jax.block_until_ready(out)
+        tile_ms[qt] = (time.time() - t0) / 3 * 1e3
+
     orig_pick = pp.pick_q_tile
     results = []
     for qt in (256, 128, 64, 32):
@@ -72,21 +111,38 @@ def main():
                                        cfg=cfg, annealed=False, mesh=mesh)
             jax.block_until_ready(st.fitted)
             dt = (time.time() - t0) / iters
-            model = T / (p_shards + T - 1.0)
-            results.append((T, qt, dt, model))
-            print(f"T={T:3d} (qt={qt:4d}): {dt*1e3:8.1f} ms/iter   "
-                  f"model utilization T/(P+T-1) = {model:.3f}", flush=True)
+            steps = p_shards + T - 1
+            per_step = dt * 1e3 / steps
+            overhead = per_step - tile_ms[qt]
+            model = T / (steps * 1.0)
+            results.append((T, qt, dt, model, per_step, overhead))
+            print(f"T={T:3d} (qt={qt:4d}): {dt*1e3:8.1f} ms/iter | "
+                  f"{steps} steps x {per_step:6.1f} ms = "
+                  f"{tile_ms[qt]:6.1f} compute + {overhead:6.1f} "
+                  f"step-overhead (comm/dispatch)", flush=True)
         finally:
             pp.pick_q_tile = orig_pick
 
     if len(results) >= 2:
-        # normalize: time ~ work/util => time*util should be ~constant
-        base = results[0]
-        print("\nmodel check (time_T * util_T / (time_base * util_base), "
-              "1.0 = perfect bubble model):")
-        for T, qt, dt, m in results:
-            ratio = (dt * m) / (base[2] * base[3])
-            print(f"  T={T:3d}: {ratio:.3f}")
+        # fit per_step = a + b*qt; A = a/b is pick_q_tile's
+        # step_overhead_qcols calibration constant
+        qts = np.array([r[1] for r in results], float)
+        ps = np.array([r[4] for r in results], float)
+        b_, a_ = np.polyfit(qts, ps, 1)
+        A = a_ / b_
+        print(f"\nper-step fit: {a_:.1f} ms + {b_:.3f} ms/qcol  =>  "
+              f"step_overhead_qcols A = {A:.1f}")
+        model = lambda T: ((p_shards + T - 1)
+                           * (b_ * q_local / T + a_))
+        Ts = [r[0] for r in results]
+        best_measured = min(results, key=lambda r: r[2])[0]
+        best_model = min(Ts, key=model)
+        print(f"model-optimal T = {best_model}, measured-optimal "
+              f"T = {best_measured}")
+        print("model vs measured ms/iter:")
+        for T, qt, dt, m, p_s, ov in results:
+            print(f"  T={T:3d}: model {model(T):8.1f}  "
+                  f"measured {dt*1e3:8.1f}")
 
 
 if __name__ == "__main__":
