@@ -69,9 +69,12 @@ def pick_q_tile(q_local: int, p_shards: int, n: int, prefer_fused: bool,
     return divisors[-1]
 
 
-def _tile_sweep_xla(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
-                    pm_l, qm_t):
-    """One-tile processor via the XLA scan sweep (CPU tests / f64 parity)."""
+def _tile_sweep_xla(x_l, cp_t, gram_l, gam_t, mu_t, beta_t, f_t, consts_t,
+                    block, pm_l, qm_t):
+    """One-tile processor via the XLA scan sweep (CPU tests / f64 parity).
+    beta_t is unused: this processor never follows a lite iteration (lite
+    requires the fused processor), so gam/mu are always fresh."""
+    del beta_t
     gam_n, mu_n, f_n, zr, zc = sweep_complete(
         x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
         p_mask=pm_l, q_mask=qm_t)
@@ -84,18 +87,36 @@ def _tile_sweep_xla(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
     return gam_n, mu_n, f_n, zr, zc, gcol, m2g, b2
 
 
-def _tile_sweep_fused(x_l, cp_t, gram_l, gam_t, mu_t, f_t, consts_t, block,
-                      pm_l, qm_t, *, q_tile, sub, qchunk, mxu_bf16, annealed):
-    """One-tile processor via the fused Pallas kernel (qtiles = 1)."""
+def _tile_sweep_fused(x_l, cp_t, gram_l, gam_t, mu_t, beta_t, f_t, consts_t,
+                      block, pm_l, qm_t, *, q_tile, sub, qchunk, mxu_bf16,
+                      annealed):
+    """One-tile processor via the fused Pallas kernel (qtiles = 1).
+
+    The kernel carries beta_t = the CARRIED product from the previous
+    iteration (gam_t * mu_t would be wrong after a lite iteration, whose
+    gam/mu are stale — only beta is current)."""
+    del gam_t, mu_t
     from ..ops.sweep_fused import sweep_complete_fused
-    gram_blocks = gram_l
-    beta_t = gam_t * mu_t  # the fused kernel carries the product
     _b, gam_n, mu_n, f_n, zr, zc, (gcol, m2g, b2) = sweep_complete_fused(
-        x_l, cp_t, gram_blocks, beta_t, f_t, consts_t, block,
+        x_l, cp_t, gram_l, beta_t, f_t, consts_t, block,
         p_mask=pm_l, q_mask=qm_t, q_tile=q_tile, sub=sub,
         qchunk=qchunk, mxu_bf16=mxu_bf16,
         emit_gam_mu=True, annealed=annealed)
     return gam_n, mu_n, f_n, zr, zc, gcol, m2g, b2
+
+
+def _tile_sweep_fused_lite(x_l, cp_t, gram_l, beta_t, f_t, consts_t, block,
+                           pm_l, qm_t, *, q_tile, sub, qchunk, mxu_bf16,
+                           annealed):
+    """Lite one-tile processor: reads/writes only beta = gam * mu (the
+    pod-scale steady-state variant — 2 of the 4 (p, q) tile streams)."""
+    from ..ops.sweep_fused import sweep_complete_fused
+    beta_n, _g, _m, f_n, zr, zc, (gcol, m2g, b2) = sweep_complete_fused(
+        x_l, cp_t, gram_l, beta_t, f_t, consts_t, block,
+        p_mask=pm_l, q_mask=qm_t, q_tile=q_tile, sub=sub,
+        qchunk=qchunk, mxu_bf16=mxu_bf16,
+        emit_gam_mu=False, annealed=annealed)
+    return beta_n, f_n, zr, zc, gcol, m2g, b2
 
 
 def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
@@ -104,10 +125,13 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
     """shard_map wrapper: run the exact sweep over a ("p", "q") mesh.
 
     Returns (beta, gam, mu, fitted, z_row, z_col, (gcol, m2gcol, b2col))
-    with the same global values as the single-device sweep.  The pipeline
-    always emits fresh gam/mu (emit_gam_mu is accepted for interface parity
-    with the single-device fused path; the pod-scale lite variant is a
-    future optimization).
+    with the same global values as the single-device sweep.
+
+    emit_gam_mu=False ("lite", fused tile processor only): the pipeline
+    carries and updates ONLY beta = gam * mu — the returned gam/mu are the
+    (stale) inputs, exactly like the single-device lite path.  Per
+    iteration this halves the (p, q) tile streams (beta in/out instead of
+    gam+mu in/out) — the pod-scale steady-state optimization.
     """
     pax, qax = cfg.p_axis, cfg.q_axis
     P_sh = mesh.shape[pax]
@@ -115,22 +139,32 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
     n = data.x.shape[0]
     q_local = data.y.shape[1] // Q_sh
     on_accel = jax.devices()[0].platform != "cpu"
-    use_fused = (cfg.dtype == jnp.float32 and on_accel
-                 and cfg.sweep in ("auto", "fused"))
+    # cfg.sweep == "fused" forces the fused tile processor even on CPU
+    # (interpret mode) so the lite pipeline is testable off-chip
+    use_fused = (cfg.dtype == jnp.float32 and cfg.sweep in ("auto", "fused")
+                 and (on_accel or cfg.sweep == "fused"))
     qt = pick_q_tile(q_local, P_sh, n, use_fused,
                  cfg.pipeline_step_overhead_qcols)
     assert qt is not None, (q_local, P_sh)
     T = q_local // qt
+    lite = use_fused and not emit_gam_mu
 
     if use_fused:
-        tile_fn = partial(_tile_sweep_fused, q_tile=qt, sub=cfg.sweep_sub,
-                          qchunk=cfg.sweep_qchunk or 512,
-                          mxu_bf16=cfg.mxu_bf16, annealed=annealed)
+        tile_fn = partial(
+            _tile_sweep_fused_lite if lite else _tile_sweep_fused,
+            q_tile=qt, sub=cfg.sweep_sub,
+            qchunk=cfg.sweep_qchunk or 512,
+            mxu_bf16=cfg.mxu_bf16, annealed=annealed)
     else:
         tile_fn = _tile_sweep_xla
 
-    def local(x_l, cp_l, gam_l, mu_l, fitted_l, gram_l, theta_l, pm_l,
-              s2, tau, logtau, zeta, qm_l, c, log_sig2_inv):
+    if lite:
+        return _pipeline_2d_lite(mesh, cfg, data, state, beta_carry,
+                                 gram_blocks, cp_x_y, consts, block,
+                                 tile_fn, qt, T, n, q_local, pax, qax, P_sh)
+
+    def local(x_l, cp_l, gam_l, mu_l, beta_l, fitted_l, gram_l, theta_l,
+              pm_l, s2, tau, logtau, zeta, qm_l, c, log_sig2_inv):
         pid = jax.lax.axis_index(pax)
         dt = gam_l.dtype
         p_l = gam_l.shape[0]
@@ -147,6 +181,7 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
             fin = jnp.where(pid == 0, finj, fcur)
             gam_t = jax.lax.dynamic_slice(gam_l, (z0, col), (p_l, qt))
             mu_t = jax.lax.dynamic_slice(mu_l, (z0, col), (p_l, qt))
+            beta_t = jax.lax.dynamic_slice(beta_l, (z0, col), (p_l, qt))
             cp_t = jax.lax.dynamic_slice(cp_l, (z0, col), (p_l, qt))
             sl = lambda v: jax.lax.dynamic_slice(v, (col,), (qt,))
             consts_t = SweepConsts(
@@ -154,8 +189,8 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
                 log_sig2_inv=log_sig2_inv, theta=theta_l, zeta=sl(zeta), c=c)
 
             def do(_):
-                return tile_fn(x_l, cp_t, gram_l, gam_t, mu_t, fin, consts_t,
-                               block, pm_l, sl(qm_l))
+                return tile_fn(x_l, cp_t, gram_l, gam_t, mu_t, beta_t, fin,
+                               consts_t, block, pm_l, sl(qm_l))
 
             def skip(_):
                 zq = jnp.zeros((qt,), dt)
@@ -204,17 +239,107 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
     pq = P(pax, qax)
     out = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, pax), pq, pq, pq, P(None, qax), P(pax), P(pax),
-                  P(pax), P(qax), P(qax), P(qax), P(qax), P(qax), P(), P()),
+        in_specs=(P(None, pax), pq, pq, pq, pq, P(None, qax), P(pax),
+                  P(pax), P(pax), P(qax), P(qax), P(qax), P(qax), P(qax),
+                  P(), P()),
         out_specs=(pq, pq, pq, P(None, qax), P(pax), P(qax), P(qax), P(qax),
                    P(qax)),
         check_vma=False,
-    )(data.x, cp_x_y, state.gam, state.mu_beta, state.fitted, gram_blocks,
-      consts.theta, data.p_mask, consts.sig2_beta, consts.tau,
+    )(data.x, cp_x_y, state.gam, state.mu_beta, beta_carry, state.fitted,
+      gram_blocks, consts.theta, data.p_mask, consts.sig2_beta, consts.tau,
       consts.log_tau, consts.zeta, data.q_mask, consts.c,
       consts.log_sig2_inv)
     gam, mu, beta, fitted, zrow, zcol, gcol, m2g, b2 = out
     return beta, gam, mu, fitted, zrow, zcol, (gcol, m2g, b2)
+
+
+def _pipeline_2d_lite(mesh, cfg, data, state, beta_carry, gram_blocks,
+                      cp_x_y, consts, block, tile_fn, qt, T, n, q_local,
+                      pax, qax, P_sh):
+    """Lite 2-D pipeline body: identical schedule to `pipelined_sweep_2d`
+    but the tiles carry beta = gam * mu only (see its docstring)."""
+
+    def local(x_l, cp_l, beta_l, fitted_l, gram_l, theta_l, pm_l,
+              s2, tau, logtau, zeta, qm_l, c, log_sig2_inv):
+        pid = jax.lax.axis_index(pax)
+        dt = beta_l.dtype
+        p_l = beta_l.shape[0]
+
+        def step(s, carry):
+            beta_l, fcur, fout, zrow, zcol, gcol, m2g, b2 = carry
+            t = s - pid
+            active = jnp.logical_and(t >= 0, t < T)
+            t_c = jnp.clip(t, 0, T - 1)
+            col = (t_c * qt).astype(jnp.int32)
+            z0 = jnp.zeros((), jnp.int32)
+            finj = jax.lax.dynamic_slice(fitted_l, (z0, col), (n, qt))
+            fin = jnp.where(pid == 0, finj, fcur)
+            beta_t = jax.lax.dynamic_slice(beta_l, (z0, col), (p_l, qt))
+            cp_t = jax.lax.dynamic_slice(cp_l, (z0, col), (p_l, qt))
+            sl = lambda v: jax.lax.dynamic_slice(v, (col,), (qt,))
+            consts_t = SweepConsts(
+                sig2_beta=sl(s2), tau=sl(tau), log_tau=sl(logtau),
+                log_sig2_inv=log_sig2_inv, theta=theta_l, zeta=sl(zeta), c=c)
+
+            def do(_):
+                return tile_fn(x_l, cp_t, gram_l, beta_t, fin, consts_t,
+                               block, pm_l, sl(qm_l))
+
+            def skip(_):
+                zq = jnp.zeros((qt,), dt)
+                return (beta_t, fin, jnp.zeros((p_l,), dt), zq, zq, zq, zq)
+
+            beta_n, f_n, zr, zc, gc, mg, bb = jax.lax.cond(
+                active, do, skip, 0)
+            beta_l = jax.lax.dynamic_update_slice(beta_l, beta_n, (z0, col))
+            zrow = zrow + zr
+
+            def upd(acc, v):
+                cur = jax.lax.dynamic_slice(acc, (col,), (qt,))
+                return jax.lax.dynamic_update_slice(
+                    acc, jnp.where(active, v, cur), (col,))
+
+            zcol, gcol, m2g, b2 = upd(zcol, zc), upd(gcol, gc), \
+                upd(m2g, mg), upd(b2, bb)
+            f_keep = jnp.where(jnp.logical_and(active, pid == P_sh - 1),
+                               f_n, jax.lax.dynamic_slice(
+                                   fout, (z0, col), (n, qt)))
+            fout = jax.lax.dynamic_update_slice(fout, f_keep, (z0, col))
+            fnext = jax.lax.ppermute(
+                f_n, pax, [(i, (i + 1) % P_sh) for i in range(P_sh)])
+            return (beta_l, fnext, fout, zrow, zcol, gcol, m2g, b2)
+
+        zq = jnp.zeros((q_local,), dt)
+        carry = (beta_l, jnp.zeros((n, qt), dt),
+                 jnp.zeros((n, q_local), dt), jnp.zeros((p_l,), dt),
+                 zq, zq, zq, zq)
+        carry = jax.lax.fori_loop(0, P_sh + T - 1, step, carry)
+        beta_l, _, fout, zrow, zcol, gcol, m2g, b2 = carry
+
+        fitted = jax.lax.psum(fout, pax)
+        zrow = jax.lax.psum(zrow, qax)
+        zcol = jax.lax.psum(zcol, pax)
+        gcol = jax.lax.psum(gcol, pax)
+        m2g = jax.lax.psum(m2g, pax)
+        b2 = jax.lax.psum(b2, pax)
+        return beta_l, fitted, zrow, zcol, gcol, m2g, b2
+
+    pq = P(pax, qax)
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, pax), pq, pq, P(None, qax), P(pax), P(pax),
+                  P(pax), P(qax), P(qax), P(qax), P(qax), P(qax), P(), P()),
+        out_specs=(pq, P(None, qax), P(pax), P(qax), P(qax), P(qax),
+                   P(qax)),
+        check_vma=False,
+    )(data.x, cp_x_y, beta_carry, state.fitted, gram_blocks,
+      consts.theta, data.p_mask, consts.sig2_beta, consts.tau,
+      consts.log_tau, consts.zeta, data.q_mask, consts.c,
+      consts.log_sig2_inv)
+    beta, fitted, zrow, zcol, gcol, m2g, b2 = out
+    # gam/mu stay (stale) as on the single-device lite path
+    return beta, state.gam, state.mu_beta, fitted, zrow, zcol, \
+        (gcol, m2g, b2)
 
 
 def pipelined_sweep_missing_2d(mesh, cfg, data, state, consts, block):

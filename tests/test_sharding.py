@@ -234,3 +234,48 @@ def test_2d_mesh_exact_missing_e2e_api():
                       user_seed=42, mesh=mesh, missing="exact", maxit=600)
     assert res.converged
     assert (res.hotspot_sizes()[:p_act] > 0).any()
+
+
+def test_2d_mesh_lite_matches_full():
+    """The lite 2-D pipeline (beta-carry tiles, fused processor forced to
+    interpret mode via sweep='fused') must equal the full-emission 2-D
+    pipeline and the single-device fused lite iteration — the pod-scale
+    steady-state traffic optimization changes scheduling, not math."""
+    y, x, _ = simulate_fixture(n=64, p=300, p_act=6, q=512, seed=3)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg1 = Config(dtype=jnp.float32, block_size=128, sweep="fused",
+                  shr_fac_inv=float(q_eff))
+    cfg_m = Config(dtype=jnp.float32, block_size=128, sweep="fused",
+                   shr_fac_inv=float(q_eff), q_axis="q", p_axis="p")
+    mesh = pmesh.make_mesh(jax.devices()[:4], p_shards=2)
+    data = gl.build_data(dat.x, dat.y, cfg1, q_pad_to=256, p_shards=2)
+    hyper = gl.build_hyper(elic.auto_set_hyper(dat.y, p_eff, (3, 10)),
+                           data.y.shape[1], cfg1)
+    init = elic.auto_set_init(dat.y, p_eff, (3, 10), float(q_eff), 42)
+    state0 = gl.build_state(init, data, cfg1)
+
+    gram = block_gram(data.x, cfg1.block_size)
+    # single-device fused: one lite then one full iteration
+    s_ref = gl.cavi_iteration(data, hyper, state0, gram, 1.0, 1.0,
+                              cfg=cfg1, annealed=False, lite=True)
+    s_ref = gl.cavi_iteration(data, hyper, s_ref, gram, 1.0, 1.0,
+                              cfg=cfg1, annealed=False, lite=False)
+
+    data_s = pmesh.shard_data(data, mesh)
+    hyper_s = pmesh.shard_hyper(hyper, mesh)
+    s_sh = pmesh.shard_state(state0, mesh)
+    s_sh = gl.cavi_iteration(data_s, hyper_s, s_sh, gram, 1.0, 1.0,
+                             cfg=cfg_m, annealed=False, mesh=mesh, lite=True)
+    s_sh = gl.cavi_iteration(data_s, hyper_s, s_sh, gram, 1.0, 1.0,
+                             cfg=cfg_m, annealed=False, mesh=mesh,
+                             lite=False)
+
+    np.testing.assert_allclose(np.asarray(s_sh.gam), np.asarray(s_ref.gam),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_sh.fitted),
+                               np.asarray(s_ref.fitted), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_sh.theta),
+                               np.asarray(s_ref.theta), rtol=2e-4,
+                               atol=1e-6)
