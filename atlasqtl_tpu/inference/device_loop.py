@@ -80,6 +80,9 @@ def _build_converged(mod):
         dt = cfg.dtype
         edt = cfg.elbo_dtype if jax.config.jax_enable_x64 else cfg.dtype
         eps = float(np.finfo(np.float64).eps) ** 0.5
+        # scale-aware arithmetic allowance + convergence noise floor —
+        # must mirror the host driver exactly (see driver.py:eps_rel)
+        eps_rel = 64.0 * float(jnp.finfo(edt).eps)
         one = jnp.asarray(1.0, dt)
 
         def one_iter(st, lite):
@@ -108,11 +111,18 @@ def _build_converged(mod):
                 idx = jnp.minimum(nev, ELBO_BUF - 1)
                 ebuf = ebuf.at[idx].set(lb)
                 ibuf = ibuf.at[idx].set(it)
-                mono = mono | (lb + eps < lb_prev)
+                # NaN compares False against everything: flag non-finite
+                # ELBO explicitly (the host raises from the recorded trace)
+                # and never declare convergence on it
+                had_prev = jnp.isfinite(lb_prev)
+                mono = mono | (had_prev
+                               & (lb + eps + eps_rel * jnp.abs(lb_prev)
+                                  < lb_prev)) | ~jnp.isfinite(lb)
                 diff = jnp.abs(lb - lb_prev)
                 exceed = jnp.sum((diff > times_sched * cfg.tol)
                                  .astype(jnp.int32), dtype=jnp.int32)
-                conv = exceed == 0
+                conv = ((exceed == 0) | (diff <= eps_rel * jnp.abs(lb))) \
+                    & jnp.isfinite(lb)
                 upd = (exceed > 0) & (ibc > exceed)
                 ibc = jnp.where(upd, exceed, ibc)
                 bc = jnp.where(upd, batch_sched[jnp.maximum(ibc - 1, 0)], bc)

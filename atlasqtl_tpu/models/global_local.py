@@ -321,9 +321,16 @@ def _fused_q_tile(n, q_pad, block=128):
 def _fused_qchunk(q_tile):
     """Chain q-chunking: wider chunks amortize per-row overheads once the
     tile is large (measured at qt=5120: qc2560 27.9 ms < qc1024 31.0 <
-    qc512 32.6; below qt=4096 qc512 wins the register-pressure
-    tradeoff)."""
-    return q_tile // 2 if q_tile >= 4096 else 512
+    qc512 32.6), and tiles at or below 1024 never benefit from splitting
+    (pod_slice shape n=5k, p=300k, qt=1024: qc1024 64.0 ms < qc512 65.3 <
+    qc256 81.6 — the chain rows are few and wide relative to n-dominated
+    window costs there).  Between 1024 and 4096, qc512 wins the
+    register-pressure tradeoff."""
+    if q_tile >= 4096:
+        return q_tile // 2
+    if q_tile <= 1024:
+        return q_tile
+    return 512
 
 
 def _mis_fused_q_tile(n, q_pad, block=128):
@@ -577,6 +584,11 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
     # 8: horseshoe local scales — "keep this order!" (:239-274)
     l_vb = (c_s * state.sig02_inv * shr
             * (state.theta ** 2 + state.sig2_theta) / 2.0 / cfg.df)
+    # padded predictor rows carry sig2_theta = 1 (build_state pad fill), so
+    # their L is ~sig02_inv * q / 2 — large enough to overflow the special
+    # functions; pin them to a benign value (they are masked out of every
+    # reduction, but NaN * 0 would still poison the sig02 sum)
+    l_vb = jnp.where(data.p_mask > 0, l_vb, jnp.asarray(1.0, dt))
     rho_xi_inv = c_s * (hyper.a2_inv + state.sig02_inv)
     if annealed:
         lam2_inv = lam2_inv_annealed(l_vb, c_s, cfg.df)

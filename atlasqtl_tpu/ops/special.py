@@ -305,10 +305,32 @@ def upper_gamma(a, x):
 def upper_gamma_ratio(c, x):
     """Gamma(2-c, x) / (Gamma(1-c, x) * x) computed via regularized gammas:
     ratio = [P-free] Gamma(2-c,x)/Gamma(1-c,x) = gammaincc(2-c,x)*Gamma(2-c) /
-    (gammaincc(1-c,x)*Gamma(1-c)).  Stable in log-space."""
-    log_num = jnp.log(_gammaincc(2.0 - c, x)) + gammaln(2.0 - c)
-    log_den = jnp.log(_gammaincc(1.0 - c, x)) + gammaln(1.0 - c)
-    return jnp.exp(log_num - log_den - jnp.log(x))
+    (gammaincc(1-c,x)*Gamma(1-c)).  Stable in log-space for moderate x.
+
+    Past the dtype's underflow horizon gammaincc is exactly 0 (x ~ 87 in
+    f32, ~700 in f64), turning the ratio into log(0)-log(0) = NaN — the
+    silent-NaN bug of rounds 2-3 (annealing routinely produces x in the
+    tens of thousands at padded rows).  The large-x branch uses the
+    Tricomi asymptotic Gamma(a, x) ~ x^{a-1} e^{-x} (1 + (a-1)/x + ...):
+    the e^{-x} and leading powers cancel exactly in the ratio, leaving a
+    3-term rational correction (relative error (2/x)^4 at the switch:
+    ~1e-11 at the f64 threshold 600, ~2e-5 at the f32 threshold 30 —
+    both below the dtype's working precision for this update)."""
+    x = jnp.asarray(x)
+    thresh = 600.0 if x.dtype == jnp.float64 else 30.0
+    x_lo = jnp.minimum(x, thresh)
+    log_num = jnp.log(_gammaincc(2.0 - c, x_lo)) + gammaln(2.0 - c)
+    log_den = jnp.log(_gammaincc(1.0 - c, x_lo)) + gammaln(1.0 - c)
+    exact = jnp.exp(log_num - log_den - jnp.log(x_lo))
+
+    def s3(a):
+        t1 = (a - 1.0) / x
+        t2 = t1 * (a - 2.0) / x
+        t3 = t2 * (a - 3.0) / x
+        return 1.0 + t1 + t2 + t3
+
+    asym = s3(2.0 - c) / s3(1.0 - c)
+    return jnp.where(x > thresh, asym, exact)
 
 
 def hyperg_1f1(a, b, x, n_terms: int = 400):

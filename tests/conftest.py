@@ -53,3 +53,15 @@ def simulate_fixture(n=100, p=75, p_act=10, q=20, seed=123, missing_frac=0.0):
 @pytest.fixture
 def fixture_small():
     return simulate_fixture()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules: a full-suite run
+    accumulates hundreds of XLA:CPU executables in one process, and the
+    compiler segfaulted reproducibly near the end of the suite (inside
+    backend_compile_and_load, ~test #88) until caches were dropped.
+    Within-module cache reuse is preserved; cross-module reuse is rare."""
+    import jax
+    jax.clear_caches()
+    yield

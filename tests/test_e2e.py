@@ -284,3 +284,20 @@ def test_full_output_dict_global(fixture_small):
                 "sig2_theta_vb", "sig2_zeta_vb", "tau_vb", "theta_vb",
                 "zeta_vb"}
     assert set(res.full_output) == expected
+
+
+def test_annealed_fit_large_padded_l_regression():
+    """Regression for the silent-NaN bug (rounds 2-3): at p*q large enough
+    that sig02_inv ~ Gamma(max(p,q)) makes the PADDED rows' horseshoe L
+    overflow the annealed incomplete-gamma update, the whole state went
+    NaN during annealing and sailed through both guards as 'converged'.
+    The padded-row L is now pinned and the ratio has a large-x branch."""
+    y, x, p_act = simulate_fixture(n=100, p=150, p_act=10, q=40, seed=9)
+    res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=9)
+    assert res.converged
+    assert np.isfinite(res.gam_vb).all()
+    assert np.isfinite(res.lb_opt)
+    assert _monotone(res.elbo_history)
+    hot = res.hotspot_sizes()
+    assert (hot[:p_act] > 10).all()

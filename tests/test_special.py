@@ -64,9 +64,11 @@ def test_inv_mills_ratio():
 
 
 def test_upper_gamma_ratio():
-    # the annealed df=1 local-scale update ratio vs scipy
+    # the annealed df=1 local-scale update ratio vs scipy (scipy itself is
+    # NaN past the f64 underflow horizon x ~ 700; large x is covered by
+    # test_upper_gamma_ratio_large_x)
     for c in [0.5, 0.68, 0.9, 0.99]:
-        x = np.geomspace(1e-4, 1e3, 40)
+        x = np.geomspace(1e-4, 600.0, 40)
         got = np.asarray(sp.upper_gamma_ratio(c, jnp.asarray(x)))
         g = lambda a: sps.gammaincc(a, x) * sps.gamma(a)
         exp = g(2 - c) / (g(1 - c) * x)
@@ -184,3 +186,27 @@ def test_probit_logit_fast_and_mills_fast():
     i1, i0 = sp.mills_fast(ub)
     np.testing.assert_allclose(np.asarray(i1), [50.0, 0.0], atol=2e-2)
     np.testing.assert_allclose(np.asarray(i0), [0.0, -50.0], atol=2e-2)
+
+
+def test_upper_gamma_ratio_large_x():
+    """Regression for the silent-NaN bug of rounds 2-3: gammaincc
+    underflows to exactly 0 for large x, turning the annealed df=1
+    horseshoe ratio into log(0) - log(0) = NaN; the large-x branch must
+    agree with SciPy where SciPy is finite and with the Tricomi
+    asymptotics beyond."""
+    from scipy.special import gammaincc as sgic, gamma as sgam
+    from atlasqtl_tpu.ops.special import upper_gamma_ratio
+
+    def ref(c, x):
+        return sgic(2 - c, x) * sgam(2 - c) / (sgic(1 - c, x)
+                                               * sgam(1 - c)) / x
+
+    for c in (0.3, 0.5, 0.9):
+        for x in (0.5, 5.0, 29.0, 31.0, 100.0, 600.0):
+            a = float(upper_gamma_ratio(c, jnp.asarray(x, jnp.float64)))
+            assert np.isfinite(a)
+            assert abs(a - ref(c, x)) / ref(c, x) < 5e-5, (c, x)
+        for x in (1e4, 4e4, 1e6):  # Gamma(a, x) == 0.0 in f64 here
+            a = float(upper_gamma_ratio(c, jnp.asarray(x, jnp.float64)))
+            assert np.isfinite(a)
+            assert abs((a - 1.0) - 1.0 / x) < 3.0 / x ** 2, (c, x)
