@@ -81,7 +81,7 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
 
     # initialization (reference: prepare_list_init_, R/prepare_atlasqtl.R:189-249)
     if list_init is None:
-        init_spec = elic.auto_set_init(dat.y, p, p0, shr_fac_inv, user_seed)
+        init_spec = None  # drawn below — host path, or on device directly
     else:
         expected_p = len(dat.bool_rmvd_x) if not list_init.auto else p
         if list_init.q != q:
@@ -130,7 +130,23 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
     data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=q_pad_to,
                          p_shards=p_shards)
     hyper = gl.build_hyper(hyper_spec, data.y.shape[1], cfg)
-    state = gl.build_state(init_spec, data, cfg)
+    # Device-side random init (same sampling distributions, JAX PRNG)
+    # when nothing requires the host-materialized InitSpec: on an
+    # accelerator the host path pays ~3 x (p, q) array transfers — at
+    # sim/bench scales that is most of the wall time (the fit loop
+    # itself is device-resident).
+    use_dev_init = (list_init is None and not save_init and mesh is None
+                    and model == "global_local" and anneal_replicas == 1
+                    and _jax.devices()[0].platform != "cpu")
+    if use_dev_init:
+        state = gl.auto_init_device(
+            0 if user_seed is None else int(user_seed), data,
+            tuple(np.asarray(p0, float)), shr_fac_inv, cfg)
+    else:
+        if init_spec is None:
+            init_spec = elic.auto_set_init(dat.y, p, p0, shr_fac_inv,
+                                           user_seed)
+        state = gl.build_state(init_spec, data, cfg)
     if mesh is not None:
         data = shard_data(data, mesh)
         hyper = shard_hyper(hyper, mesh)

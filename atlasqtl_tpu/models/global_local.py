@@ -225,11 +225,8 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
     threefry kernel takes minutes to compile at (p, q) scale on TPU) so no
     host-side (p, q) float64 temporaries are materialized."""
     from ..inference.elicitation import get_n0_t02
-    from jax.scipy.special import ndtr
 
     dt = cfg.dtype
-    p_pad = data.x.shape[1]
-    q_pad = data.y.shape[1]
     p_true = int(np.asarray(data.p_true))
     q_true = int(np.asarray(data.q_true))
 
@@ -245,63 +242,78 @@ def auto_init_device(seed, data: Data, p0, shr_fac_inv: float,
     key = (seed if not isinstance(seed, int)
            else jax.random.key(seed, impl="rbg"))
     ks = jax.random.split(key, 8)
+    f = lambda v: jnp.asarray(v, dt)
+    return _auto_init_draw(
+        ks, data.x, data.p_mask, data.q_mask,
+        data.mis_pat if data.x_norm_sq is not None else None,
+        f(n0), f(s02 + t02), f(np.sqrt(t02)), f(tau0), f(sig2_inv0),
+        f(float(max(p_true, q_true))), f(float(q_true)), f(shr_fac_inv),
+        dt=dt)
 
-    def _gamma_large(k, shape_param, size):
-        # Gamma(a, 1) ~= N(a, sqrt(a)) for large a — avoids the rejection
-        # sampler, which is extremely slow on TPU for big shape params
-        g = shape_param + jnp.sqrt(shape_param) * jax.random.normal(k, size, dt)
-        return jnp.maximum(g, 0.1 * shape_param)
 
-    # NB: x/masks/mis_pat must be explicit jit arguments — closure capture
-    # would bake them into the HLO as constants (6 GB of x at pod scale),
-    # which bloats compile payloads enough to break the axon tunnel.
-    @jax.jit
-    def _draw(ks, x, p_mask, q_mask, mis_pat):
-        pm = p_mask[:, None]
-        qm = q_mask[None, :]
-        gam = ndtr(n0 + (s02 + t02)
-                   * jax.random.normal(ks[0], (p_pad, q_pad), dt)) * pm * qm
-        mu = jax.random.normal(ks[1], (p_pad, q_pad), dt) * pm * qm
-        tau = jnp.full((q_pad,), tau0, dt)
-        # Gamma(2, 1) = sum of two exponentials (exact, sampler-free)
-        u = jax.random.uniform(ks[2], (2, q_pad), dt,
-                               minval=jnp.finfo(dt).tiny)
-        g2 = -jnp.log(u[0]) - jnp.log(u[1])
-        sig2_beta = 1.0 / (g2 / (sig2_inv0 * tau))
-        sig02_inv = _gamma_large(ks[3], float(max(p_true, q_true)), ())
-        theta = (jax.random.normal(ks[4], (p_pad,), dt)
-                 / jnp.sqrt(sig02_inv * shr_fac_inv)) * p_mask
-        sig2_theta = 1.0 / (q_true + _gamma_large(
-            ks[5], sig02_inv * shr_fac_inv, (p_pad,)))
-        zeta = (n0 + jnp.sqrt(t02)
-                * jax.random.normal(ks[6], (q_pad,), dt)) * q_mask
-        fitted = jnp.matmul(x, gam * mu, preferred_element_type=dt)
-        if mis_pat is not None:
-            fitted = fitted * mis_pat
-        sig2_beta_full = (jnp.broadcast_to(sig2_beta[None, :],
-                                           (p_pad, q_pad))
-                          if mis_pat is not None else sig2_beta)
-        if mis_pat is None:
-            beta0 = gam * mu
-            colstats = (jnp.sum(gam, axis=0),
-                        jnp.einsum("pq,pq->q", mu * mu, gam),
-                        jnp.einsum("pq,pq->q", beta0, beta0))
-        else:
-            beta0 = None
-            colstats = (None, None, None)
-        return VBState(
-            gam_colsum=colstats[0], mu2gam_colsum=colstats[1],
-            beta2_colsum=colstats[2], beta=beta0,
-            gam=gam, mu_beta=mu, sig2_beta=sig2_beta_full, tau=tau,
-            sig2_inv=jnp.asarray(sig2_inv0, dt), theta=theta, zeta=zeta,
-            sig02_inv=sig02_inv, lam2_inv=jnp.ones(p_pad, dt),
-            sig2_theta=sig2_theta, fitted=fitted,
-            l_vb=jnp.ones(p_pad, dt), rho_xi_inv=jnp.asarray(1.0, dt),
-            nu_s0_vb=jnp.asarray(1.0, dt), rho_s0_vb=jnp.asarray(1.0, dt),
-        )
+def _gamma_large(k, shape_param, size, dt):
+    # Gamma(a, 1) ~= N(a, sqrt(a)) for large a — avoids the rejection
+    # sampler, which is extremely slow on TPU for big shape params
+    g = shape_param + jnp.sqrt(shape_param) * jax.random.normal(k, size, dt)
+    return jnp.maximum(g, 0.1 * shape_param)
 
-    return _draw(ks, data.x, data.p_mask, data.q_mask,
-                 data.mis_pat if data.x_norm_sq is not None else None)
+
+# Module-level jit (NOT defined inside auto_init_device: a nested @jax.jit
+# is a fresh cache entry per call, which recompiled the draw on EVERY fit
+# — ~1.5 s per atlasqtl() call at sim scale).  x/masks/mis_pat are explicit
+# arguments — closure capture would bake them into the HLO as constants
+# (6 GB of x at pod scale), which bloats compile payloads enough to break
+# the axon tunnel; the distribution scalars are dynamic operands so fits
+# with different hyperparameters share the executable.
+@partial(jax.jit, static_argnames=("dt",))
+def _auto_init_draw(ks, x, p_mask, q_mask, mis_pat, n0, sd2_gam, t0_sd,
+                    tau0, sig2_inv0, pq_max, q_true, shr_fac_inv, *, dt):
+    from jax.scipy.special import ndtr
+
+    p_pad = p_mask.shape[0]
+    q_pad = q_mask.shape[0]
+    pm = p_mask[:, None]
+    qm = q_mask[None, :]
+    gam = ndtr(n0 + sd2_gam
+               * jax.random.normal(ks[0], (p_pad, q_pad), dt)) * pm * qm
+    mu = jax.random.normal(ks[1], (p_pad, q_pad), dt) * pm * qm
+    tau = jnp.full((q_pad,), 1.0, dt) * tau0
+    # Gamma(2, 1) = sum of two exponentials (exact, sampler-free)
+    u = jax.random.uniform(ks[2], (2, q_pad), dt,
+                           minval=jnp.finfo(dt).tiny)
+    g2 = -jnp.log(u[0]) - jnp.log(u[1])
+    sig2_beta = 1.0 / (g2 / (sig2_inv0 * tau))
+    sig02_inv = _gamma_large(ks[3], pq_max, (), dt)
+    theta = (jax.random.normal(ks[4], (p_pad,), dt)
+             / jnp.sqrt(sig02_inv * shr_fac_inv)) * p_mask
+    sig2_theta = 1.0 / (q_true + _gamma_large(
+        ks[5], sig02_inv * shr_fac_inv, (p_pad,), dt))
+    zeta = (n0 + t0_sd
+            * jax.random.normal(ks[6], (q_pad,), dt)) * q_mask
+    fitted = jnp.matmul(x, gam * mu, preferred_element_type=dt)
+    if mis_pat is not None:
+        fitted = fitted * mis_pat
+    sig2_beta_full = (jnp.broadcast_to(sig2_beta[None, :],
+                                       (p_pad, q_pad))
+                      if mis_pat is not None else sig2_beta)
+    if mis_pat is None:
+        beta0 = gam * mu
+        colstats = (jnp.sum(gam, axis=0),
+                    jnp.einsum("pq,pq->q", mu * mu, gam),
+                    jnp.einsum("pq,pq->q", beta0, beta0))
+    else:
+        beta0 = None
+        colstats = (None, None, None)
+    return VBState(
+        gam_colsum=colstats[0], mu2gam_colsum=colstats[1],
+        beta2_colsum=colstats[2], beta=beta0,
+        gam=gam, mu_beta=mu, sig2_beta=sig2_beta_full, tau=tau,
+        sig2_inv=sig2_inv0, theta=theta, zeta=zeta,
+        sig02_inv=sig02_inv, lam2_inv=jnp.ones(p_pad, dt),
+        sig2_theta=sig2_theta, fitted=fitted,
+        l_vb=jnp.ones(p_pad, dt), rho_xi_inv=jnp.asarray(1.0, dt),
+        nu_s0_vb=jnp.asarray(1.0, dt), rho_s0_vb=jnp.asarray(1.0, dt),
+    )
 
 
 def _fused_q_tile(n, q_pad, block=128):
