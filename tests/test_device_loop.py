@@ -65,3 +65,21 @@ def test_device_loop_maxit_truncation(fixture_small):
     host, dev = _fit_pair(y, x, maxit=12)
     assert not dev.converged and not host.converged
     _assert_same(host, dev)
+
+
+def test_device_loop_matches_host_under_mesh():
+    """Device-resident loops with the 1-D trait mesh (shard_map inside
+    lax.scan / lax.while_loop) must equal the host loop under the same
+    mesh."""
+    import jax
+    from atlasqtl_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the 8-device virtual mesh")
+    y, x, _ = simulate_fixture(q=32)
+    mesh = make_mesh(jax.devices()[:8])
+    base = dict(p0=(5, 25), dtype=jnp.float64, verbose=0, user_seed=123,
+                mesh=mesh)
+    host = aq.atlasqtl(y, x, device_loop="off", **base)
+    dev = aq.atlasqtl(y, x, device_loop="on", **base)
+    _assert_same(host, dev)
