@@ -529,7 +529,7 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                     p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile,
                     sub=cfg.sweep_sub,
                     qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
-                    mxu_bf16=cfg.mxu_bf16,
+                    mxu_bf16=cfg.mxu_bf16, lookahead=cfg.sweep_lookahead,
                     emit_gam_mu=not lite, annealed=annealed)
             # the kernel masks beta/gam/mu at write time
         else:
@@ -663,7 +663,7 @@ def _sharded_fused_sweep(mesh, cfg, data, state, beta_carry, gram_blocks,
             p_mask=pmask, q_mask=qmask, q_tile=q_tile,
             sub=cfg.sweep_sub,
             qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
-            mxu_bf16=cfg.mxu_bf16,
+            mxu_bf16=cfg.mxu_bf16, lookahead=cfg.sweep_lookahead,
             emit_gam_mu=emit_gam_mu, annealed=annealed)
         zr = jax.lax.psum(zr, qax)
         if not emit_gam_mu:  # shard_map needs arrays, not None

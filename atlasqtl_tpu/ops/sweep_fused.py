@@ -67,17 +67,25 @@ _LOG_SQRT_2PI = 0.9189385332046727
 
 def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                   s2_ref, tau_ref, zeta_ref, theta_ref, pm_ref,
-                  qm_ref, f_hbm_ref,
-                  # outputs
-                  beta_out_ref, gam_out_ref, mu_out_ref, f_out_ref,
-                  zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
-                  # scratch
-                  f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
-                  ad_scr, imrd_scr, imr0u_scr, dma_sem,
-                  *, nb: int, qtiles: int, sub: int, qchunk: int,
+                  qm_ref, f_hbm_ref, *rest,
+                  nb: int, qtiles: int, sub: int, qchunk: int,
                   mxu_bf16: bool, emit: bool, row_major: bool = False,
                   push_aligned: bool = True, chain_regs: bool = True,
-                  c_one: bool = False, probe: str = "none"):
+                  c_one: bool = False, lookahead: bool = False,
+                  probe: str = "none"):
+    # unpack (the lookahead variant carries two extra inputs and one extra
+    # scratch buffer; pallas passes inputs, then outputs, then scratch)
+    if lookahead:
+        (xn_ref, goff_ref,
+         beta_out_ref, gam_out_ref, mu_out_ref, f_out_ref,
+         zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
+         f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
+         ad_scr, imrd_scr, imr0u_scr, rn_scr, dma_sem) = rest
+    else:
+        (beta_out_ref, gam_out_ref, mu_out_ref, f_out_ref,
+         zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
+         f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
+         ad_scr, imrd_scr, imr0u_scr, dma_sem) = rest
     t = pl.program_id(0)
     b = pl.program_id(1)
     qt = r_scr.shape[1]
@@ -139,19 +147,41 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
         dma.wait()
 
     # ---- residual projections for this block (MXU) ----
+    def _proj(lhs_ref):
+        if mxu_bf16:
+            return jax.lax.dot_general(
+                lhs_ref[:, :].astype(jnp.bfloat16),
+                f_scr[:, :].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=r_scr.dtype)
+        return jax.lax.dot_general(
+            lhs_ref[:, :], f_scr[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=r_scr.dtype)
+
     if probe == "nomxu":  # PERF PROBE: no projections (wrong math)
         r_scr[:, :] = cp_ref[:, :]
-    elif mxu_bf16:
-        r_scr[:, :] = jax.lax.dot_general(
-            x_ref[:, :].astype(jnp.bfloat16),
-            f_scr[:, :].astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=r_scr.dtype)
+    elif lookahead:
+        # One-block-lookahead schedule: block b's raw projection was
+        # computed DURING block b-1 (from F advanced through b-2, plus
+        # the exact off-diagonal Gram correction x_b^T x_{b-1} delta_{b-1}
+        # applied at the end of that step), so this step's only fresh
+        # projection is for block b+1 — issued now, against the current F,
+        # and it overlaps the sequential chain below instead of
+        # serializing MXU across the step boundary (advance -> r0).
+        @pl.when(b == 0)
+        def _():
+            r_scr[:, :] = _proj(x_ref)
+
+        @pl.when(b != 0)
+        def _():
+            r_scr[:, :] = rn_scr[:, :]
+
+        @pl.when(b != nb - 1)
+        def _():
+            rn_scr[:, :] = _proj(xn_ref)
     else:
-        r_scr[:, :] = jax.lax.dot_general(
-            x_ref[:, :], f_scr[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=r_scr.dtype)
+        r_scr[:, :] = _proj(x_ref)
 
     # remove each coordinate's own diagonal contribution once, as a tile op
     # (beta_ref holds the pre-sweep values every row's update subtracts)
@@ -307,6 +337,18 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f_scr.dtype)
 
+    if lookahead and probe != "nomxu":
+        # exact off-diagonal Gram correction: the lookahead projection for
+        # block b+1 was taken before this block's deltas landed in F;
+        # rn += (x_{b+1}^T x_b) @ delta_b restores equality with
+        # x_{b+1}^T F_advanced (same algebra, different f32 rounding)
+        @pl.when(b != nb - 1)
+        def _():
+            rn_scr[:, :] = rn_scr[:, :] + jax.lax.dot_general(
+                goff_ref[0], delta_scr[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=r_scr.dtype)
+
     # ---- mask at write time + fused column statistics ----
     # The masks ride the reduction dots: pm/qm are 0/1 and idempotent, so
     # e.g. sum_j (gam*msk)_jk = qm_k * sum_j pm_j gam_jk — the pm weight
@@ -390,7 +432,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                    static_argnames=("block_size", "q_tile", "sub", "qchunk",
                                     "mxu_bf16", "emit_gam_mu", "row_major",
                                     "push_aligned", "chain_regs", "c_one",
-                                    "probe"))
+                                    "lookahead", "probe"))
 def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
                 pm8, zeta, q_mask, sig2_beta, tau, c, kz,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
@@ -398,6 +440,7 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
                 mxu_bf16: bool = False, emit_gam_mu: bool = True,
                 row_major: bool = False, push_aligned: bool = True,
                 chain_regs: bool = True, c_one: bool = False,
+                lookahead: bool = False,
                 probe: str = "none"):
     """One full Gauss-Seidel sweep (+ fused Z/column reductions) as a single
     pallas_call.
@@ -453,27 +496,63 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
         gm_shapes = [jax.ShapeDtypeStruct((block_size, q_tile), dt)
                      for _ in range(2)]
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
+        xspec,                                                    # x
+        pl.BlockSpec((block_size, block_size), lambda t, b: (b, 0),
+                     memory_space=pltpu.VMEM),                    # gram
+        pl.BlockSpec((block_size, r_aug), lambda t, b: (b, 0),
+                     memory_space=pltpu.VMEM),                    # l_aug
+        pl.BlockSpec((3, r_aug, q_tile), lambda t, b: (0, 0, t),
+                     memory_space=pltpu.VMEM),                    # nodes
+        cpspec, tile(),                          # cp, beta
+        vec(), vec(), vec(),                     # s2, tau, zeta
+        bvec(), bvec(),                          # theta8, pm8
+        vec(),                                   # q_mask
+        pl.BlockSpec(memory_space=pl.ANY),       # fitted (HBM)
+    ]
+    operands = [scal, x, gram_flat, l_aug, n_stack, cp_x_y, beta,
+                sig2_beta[None, :], tau[None, :], zeta[None, :],
+                theta8, pm8, q_mask[None, :], fitted]
+    scratch = [
+        pltpu.VMEM((n, q_tile), dt),            # F tile
+        pltpu.VMEM((block_size, q_tile), dt),   # residual projections
+        pltpu.VMEM((block_size, q_tile), dt),   # delta
+        pltpu.VMEM((block_size, q_tile), dt),   # gam values
+        pltpu.VMEM((block_size, q_tile), dt),   # mu values
+        pltpu.VMEM((1, p), dt),                 # z_row accumulator
+        pltpu.VMEM((block_size, q_tile), dt),   # folded logit constant
+        pltpu.VMEM((block_size, q_tile), dt),   # interp imrd tile
+        pltpu.VMEM((block_size, q_tile), dt),   # interp imr0u tile
+    ]
+    if lookahead:
+        # x again under a shifted index map (block b+1; clamped at the
+        # last block, whose lookahead is masked off) + the off-diagonal
+        # Gram blocks goff[b] = x_{b+1}^T x_b
+        xr = x.reshape(n, nb, block_size)
+        goff = jnp.einsum("nkj,nki->kji", xr[:, 1:], xr[:, :-1],
+                          preferred_element_type=dt)
+        goff = jnp.concatenate(
+            [goff, jnp.zeros((1, block_size, block_size), dt)], axis=0)
+        in_specs += [
+            pl.BlockSpec((n, block_size),
+                         lambda t, b: (0, jnp.minimum(b + 1, nb - 1)),
+                         memory_space=pltpu.VMEM),                # x_next
+            pl.BlockSpec((1, block_size, block_size),
+                         lambda t, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                # goff
+        ]
+        operands += [x, goff]
+        scratch = scratch + [pltpu.VMEM((block_size, q_tile), dt)]  # rn
+
     out = pl.pallas_call(
         functools.partial(_fused_kernel, nb=nb, qtiles=qtiles, sub=sub,
                           qchunk=qchunk, mxu_bf16=mxu_bf16, emit=emit_gam_mu,
                           row_major=row_major, push_aligned=push_aligned,
-                          chain_regs=chain_regs, c_one=c_one, probe=probe),
+                          chain_regs=chain_regs, c_one=c_one,
+                          lookahead=lookahead, probe=probe),
         grid=(qtiles, nb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                    # scal
-            xspec,                                                    # x
-            pl.BlockSpec((block_size, block_size), lambda t, b: (b, 0),
-                         memory_space=pltpu.VMEM),                    # gram
-            pl.BlockSpec((block_size, r_aug), lambda t, b: (b, 0),
-                         memory_space=pltpu.VMEM),                    # l_aug
-            pl.BlockSpec((3, r_aug, q_tile), lambda t, b: (0, 0, t),
-                         memory_space=pltpu.VMEM),                    # nodes
-            cpspec, tile(),                          # cp, beta
-            vec(), vec(), vec(),                     # s2, tau, zeta
-            bvec(), bvec(),                          # theta8, pm8
-            vec(),                                   # q_mask
-            pl.BlockSpec(memory_space=pl.ANY),       # fitted (HBM)
-        ],
+        in_specs=in_specs,
         out_specs=(tile(), *gm_specs,
                    pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec((1, p), lambda t, b: (0, 0),
@@ -489,18 +568,7 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
             jax.ShapeDtypeStruct((1, q), dt),
             jax.ShapeDtypeStruct((1, q), dt),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n, q_tile), dt),            # F tile
-            pltpu.VMEM((block_size, q_tile), dt),   # residual projections
-            pltpu.VMEM((block_size, q_tile), dt),   # delta
-            pltpu.VMEM((block_size, q_tile), dt),   # gam values
-            pltpu.VMEM((block_size, q_tile), dt),   # mu values
-            pltpu.VMEM((1, p), dt),                 # z_row accumulator
-            pltpu.VMEM((block_size, q_tile), dt),   # folded logit constant
-            pltpu.VMEM((block_size, q_tile), dt),   # interp imrd tile
-            pltpu.VMEM((block_size, q_tile), dt),   # interp imr0u tile
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA],
         input_output_aliases={6: 0, 13: 3},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -508,9 +576,7 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
             # scoped-vmem stack past the 16 MB default
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, x, gram_flat, l_aug, n_stack, cp_x_y, beta,
-      sig2_beta[None, :], tau[None, :], zeta[None, :],
-      theta8, pm8, q_mask[None, :], fitted)
+    )(*operands)
     beta_out, gam_out, mu_out, f_out, zrow, zcol, gcol, m2gcol, b2col = out
     if emit_gam_mu:
         gam_out_r, mu_out_r = gam_out, mu_out
@@ -527,6 +593,7 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
                          mxu_bf16: bool = False, emit_gam_mu: bool = True,
                          row_major: bool = False, push_aligned: bool = True,
                          chain_regs: bool = True, annealed: bool = False,
+                         lookahead: bool = False,
                          probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_complete, carrying
     beta = gam * mu_beta (see module docstring).  annealed=False asserts
@@ -559,4 +626,5 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
         block_size=block_size, q_tile=q_tile, sub=sub,
         qchunk=qchunk, mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu,
         row_major=row_major, push_aligned=push_aligned,
-        chain_regs=chain_regs, c_one=not annealed, probe=probe)
+        chain_regs=chain_regs, c_one=not annealed,
+        lookahead=lookahead and probe == "none", probe=probe)

@@ -173,6 +173,11 @@ class Config:
     # (probe-attributed r4: sub=8 29.5 ms vs sub=16 30.7 at the eQTL bench
     # shape — smaller windows halve the right-looking push FMAs; the extra
     # left-looking MXU corrections ride under the VPU-bound chain)
+    sweep_lookahead: bool = False  # one-block-lookahead projection in the
+    # fused sweep: block b+1's residual projection issues against the
+    # pre-advance F and is repaired by the exact off-diagonal Gram
+    # correction x_{b+1}^T x_b delta_b, overlapping the big MXU dots with
+    # the sequential chain instead of serializing across the step boundary
     sweep_qchunk: int = 0    # q-chunk of the fused sweep's sequential
     # chain; 0 = auto (q_tile/2 for q_tile >= 4096, else 512 — measured
     # best; models/global_local.py:_fused_qchunk) — keeps per-row live
