@@ -330,6 +330,13 @@ def _fused_q_tile(n, q_pad, block=128):
     return None
 
 
+def _fused_sub(n, cfg: Config) -> int:
+    """Chain window size: cfg.sweep_sub, or the measured-by-regime auto
+    (small n: push FMAs dominate -> sub=8; large n: the per-window
+    projection/advance costs scale with n -> fewer, bigger windows)."""
+    return cfg.sweep_sub or (8 if n <= 2048 else 32)
+
+
 def _fused_qchunk(q_tile):
     """Chain q-chunking: wider chunks amortize per-row overheads once the
     tile is large (measured at qt=5120: qc2560 27.9 ms < qc1024 31.0 <
@@ -527,7 +534,7 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                     data.x, cp_x_y, gram_blocks, beta_carry,
                     state.fitted, consts, block,
                     p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile,
-                    sub=cfg.sweep_sub,
+                    sub=_fused_sub(n, cfg),
                     qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
                     mxu_bf16=cfg.mxu_bf16, lookahead=cfg.sweep_lookahead,
                     emit_gam_mu=not lite, annealed=annealed)
@@ -661,7 +668,7 @@ def _sharded_fused_sweep(mesh, cfg, data, state, beta_carry, gram_blocks,
         b, g, m, f, zr, zc, cs = sweep_complete_fused(
             x, cp, gb, beta, fitted, consts_l, block,
             p_mask=pmask, q_mask=qmask, q_tile=q_tile,
-            sub=cfg.sweep_sub,
+            sub=_fused_sub(x.shape[0], cfg),
             qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
             mxu_bf16=cfg.mxu_bf16, lookahead=cfg.sweep_lookahead,
             emit_gam_mu=emit_gam_mu, annealed=annealed)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from ..models.global_local import _fused_sub as _fsub
 from ..ops.sweep import SweepConsts, sweep_complete
 
 
@@ -152,7 +153,7 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
     if use_fused:
         tile_fn = partial(
             _tile_sweep_fused_lite if lite else _tile_sweep_fused,
-            q_tile=qt, sub=cfg.sweep_sub,
+            q_tile=qt, sub=_fsub(n, cfg),
             qchunk=cfg.sweep_qchunk or 512,
             mxu_bf16=cfg.mxu_bf16, annealed=annealed)
     else:

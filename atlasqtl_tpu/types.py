@@ -169,10 +169,11 @@ class Config:
     anneal_scale: bool = True
     mxu_bf16: bool = False   # bfloat16 inputs (f32 accumulation) for the two
                              # large MXU contractions of the fused sweep
-    sweep_sub: int = 8       # sub-block (unrolled window) of the fused sweep
-    # (probe-attributed r4: sub=8 29.5 ms vs sub=16 30.7 at the eQTL bench
-    # shape — smaller windows halve the right-looking push FMAs; the extra
-    # left-looking MXU corrections ride under the VPU-bound chain)
+    sweep_sub: int = 0       # sub-block (unrolled window) of the fused
+    # sweep; 0 = auto by sample count (models/global_local.py:_fused_sub):
+    # n <= 2048 -> 8 (push-FMA-bound regime: 29.5 vs 30.7 ms at the eQTL
+    # shape), larger n -> 32 (per-window projection/advance costs scale
+    # with n: 61.0 vs 65.3 ms at the pod shape)
     sweep_lookahead: bool = False  # one-block-lookahead projection in the
     # fused sweep: block b+1's residual projection issues against the
     # pre-advance F and is repaired by the exact off-diagonal Gram
