@@ -113,8 +113,21 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
                  p_axis="p" if has_p_axis else None)
 
     from .parallel.mesh import (p_pad_multiple, q_pad_multiple, shard_data,
-                                shard_hyper, shard_state)
+                                shard_hyper, shard_state, to_host)
     import jax as _jax
+    if _jax.process_count() > 1:
+        # multi-process SPMD: every process must draw the SAME init, so an
+        # unseeded fit broadcasts process 0's entropy; host-side file
+        # writers run on process 0 only (shared-filesystem contract)
+        if user_seed is None:
+            from jax.experimental import multihost_utils
+            user_seed = int(multihost_utils.broadcast_one_to_all(
+                np.int64(int(np.random.SeedSequence().generate_state(1)[0])
+                         & 0x7FFFFFFF)))
+        if _jax.process_index() != 0 and (checkpoint_path is not None
+                                          or trace_path is not None):
+            log.info("checkpoint/trace writers run on process 0 only")
+            checkpoint_path = trace_path = None
     q_pad_to = q_pad_multiple(mesh)
     n_qsh = (1 if mesh is None
              else (mesh.shape["q"] if "q" in mesh.axis_names
@@ -139,8 +152,14 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
                     and model == "global_local" and anneal_replicas == 1
                     and _jax.devices()[0].platform != "cpu")
     if use_dev_init:
+        # unseeded fits must draw a fresh init each run, matching the host
+        # path (np.random.default_rng(None)) and the reference (set.seed
+        # only when supplied) — a hardcoded fallback would silently share
+        # one deterministic init across repeated unseeded calls
+        dev_seed = (int(np.random.SeedSequence().generate_state(1)[0])
+                    if user_seed is None else int(user_seed))
         state = gl.auto_init_device(
-            0 if user_seed is None else int(user_seed), data,
+            dev_seed, data,
             tuple(np.asarray(p0, float)), shr_fac_inv, cfg)
     else:
         if init_spec is None:
@@ -187,12 +206,14 @@ def atlasqtl(Y, X, p0=None, anneal=(1, 2, 10), tol: float = 0.1,
         checkpointer.clean_up()
 
     st = res.state
-    gam_vb = np.asarray(st.gam, np.float64)[:p, :q]
-    beta_vb = np.asarray(st.gam * st.mu_beta, np.float64)[:p, :q]
-    theta_vb = np.asarray(st.theta, np.float64)[:p]
-    x_beta_vb = np.asarray(st.fitted, np.float64)[:n, :q]
-    zeta_vb = np.asarray(st.zeta, np.float64)[:q]
-    lam2_inv_vb = np.asarray(st.lam2_inv, np.float64)[:p]
+    # to_host gathers non-addressable shards under multi-process
+    # (parallel/mesh.py); single-process it is np.asarray
+    gam_vb = to_host(st.gam).astype(np.float64)[:p, :q]
+    beta_vb = to_host(st.gam * st.mu_beta).astype(np.float64)[:p, :q]
+    theta_vb = to_host(st.theta).astype(np.float64)[:p]
+    x_beta_vb = to_host(st.fitted).astype(np.float64)[:n, :q]
+    zeta_vb = to_host(st.zeta).astype(np.float64)[:q]
+    lam2_inv_vb = to_host(st.lam2_inv).astype(np.float64)[:p]
 
     names_x = dat.names_x
     if add_collinear_back_ and len(dat.rmvd_coll_x) > 0:

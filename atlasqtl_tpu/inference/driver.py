@@ -127,8 +127,8 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
     else:
         raise ValueError(f"unknown model {model!r}")
     if data.x_norm_sq is None:  # complete-data formulas (incl. VB-impute)
-        p_pad = data.x.shape[1]
-        block = min(cfg.block_size, p_pad)
+        block = mod.data_block(cfg, data) if hasattr(mod, "data_block") \
+            else gl.data_block(cfg, data)
         gram_blocks = jax.jit(block_gram, static_argnums=1)(data.x, block)
     else:
         gram_blocks = jnp.zeros((1, 1, 1), cfg.dtype)
@@ -229,12 +229,30 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
         converged = bool(conv_d)
         diff_lb = float(dlb_d)
         nev = min(int(nev_d), ELBO_BUF)
+        if int(nev_d) > ELBO_BUF:
+            log.warning(
+                "ELBO trace truncated: %d evaluations exceed the "
+                "device-loop buffer (%d); convergence/guard logic ran on "
+                "device and is unaffected, but elbo_history drops the "
+                "overflow (last slot holds the final evaluation).",
+                int(nev_d), ELBO_BUF)
         its_h = np.asarray(ibuf[:nev]).tolist()
         lbs_h = np.asarray(ebuf[:nev], np.float64).tolist()
         elbo_history.extend(zip((int(i) for i in its_h), lbs_h))
         if verbose and nev:
             for it_e, lb_e in elbo_history[-nev:]:
                 log.info("Iteration %d: ELBO = %.6f", it_e, lb_e)
+        # non-finite ELBO raises on BOTH paths regardless of cfg.debug —
+        # the host loop raises unconditionally (below), and a NaN fit must
+        # never be returned as a mere non-converged result
+        if not math.isfinite(lb_new):
+            it_bad, lb_bad = it, lb_new
+            for k in range(nev):
+                if not math.isfinite(lbs_h[k]):
+                    it_bad, lb_bad = its_h[k], lbs_h[k]
+                    break
+            raise ElboDecreaseError(
+                f"ELBO became non-finite at iteration {it_bad}: {lb_bad}")
         if cfg.debug and bool(mono_d):
             for k in range(nev):
                 if not math.isfinite(lbs_h[k]):

@@ -282,7 +282,10 @@ def _auto_init_draw(ks, x, p_mask, q_mask, mis_pat, n0, sd2_gam, t0_sd,
     u = jax.random.uniform(ks[2], (2, q_pad), dt,
                            minval=jnp.finfo(dt).tiny)
     g2 = -jnp.log(u[0]) - jnp.log(u[1])
-    sig2_beta = 1.0 / (g2 / (sig2_inv0 * tau))
+    # reference (R/set_hyper_init.R:398): 1/rgamma(shape=2,
+    # rate=1/(sig2_inv*tau)) i.e. Gamma scale = sig2_inv*tau, so the
+    # draw is 1/(g2 * sig2_inv * tau) with g2 ~ Gamma(2, 1)
+    sig2_beta = 1.0 / (g2 * (sig2_inv0 * tau))
     sig02_inv = _gamma_large(ks[3], pq_max, (), dt)
     theta = (jax.random.normal(ks[4], (p_pad,), dt)
              / jnp.sqrt(sig02_inv * shr_fac_inv)) * p_mask
@@ -328,6 +331,27 @@ def _fused_q_tile(n, q_pad, block=128):
         if cand <= budget and q_pad % cand == 0:
             return cand
     return None
+
+
+def data_block(cfg: Config, data: Data) -> int:
+    """The predictor block build_data padded p with — recompute it from
+    p_true instead of `min(block_size, p_pad)`: under a p-sharded mesh with
+    p < block_size, p_pad = block * p_shards exceeds block_size and the min
+    rule picks a block that divides neither p_pad nor the per-shard p
+    (r5 bug: p=75, p_shards=2 -> p_pad=160, min gave 128)."""
+    p_true = int(np.asarray(data.p_true))
+    return min(cfg.block_size, _round_up(p_true, 8))
+
+
+def divisor_block(block_size: int, p_pad: int) -> int:
+    """Largest multiple-of-8 block <= block_size dividing p_pad — the
+    static-shape-safe variant for use inside jit (ELBO assemblers), where
+    only p_pad is known.  Any divisor is correct there: the blocked pass
+    just tiles the (padded, zero-masked) p axis."""
+    b = min(block_size, p_pad)
+    while p_pad % b:
+        b -= 8
+    return b
 
 
 def _fused_sub(n, cfg: Config) -> int:
@@ -537,6 +561,7 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                     sub=_fused_sub(n, cfg),
                     qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
                     mxu_bf16=cfg.mxu_bf16, lookahead=cfg.sweep_lookahead,
+                    interleave=cfg.sweep_interleave, probe=cfg.sweep_probe,
                     emit_gam_mu=not lite, annealed=annealed)
             # the kernel masks beta/gam/mu at write time
         else:
@@ -671,6 +696,7 @@ def _sharded_fused_sweep(mesh, cfg, data, state, beta_carry, gram_blocks,
             sub=_fused_sub(x.shape[0], cfg),
             qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
             mxu_bf16=cfg.mxu_bf16, lookahead=cfg.sweep_lookahead,
+            interleave=cfg.sweep_interleave,
             emit_gam_mu=emit_gam_mu, annealed=annealed)
         zr = jax.lax.psum(zr, qax)
         if not emit_gam_mu:  # shard_map needs arrays, not None
@@ -768,7 +794,7 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
     # (stats pass folds them), then evaluate the closed-form terms.
     p_pad = state.gam.shape[0]
     q_pad = state.gam.shape[1]
-    block = min(cfg.block_size, p_pad)
+    block = divisor_block(cfg.block_size, p_pad)
     nb = p_pad // block
     s2b_1d = state.sig2_beta.ndim == 1
 

@@ -314,10 +314,13 @@ def upper_gamma_ratio(c, x):
     Tricomi asymptotic Gamma(a, x) ~ x^{a-1} e^{-x} (1 + (a-1)/x + ...):
     the e^{-x} and leading powers cancel exactly in the ratio, leaving a
     3-term rational correction (relative error (2/x)^4 at the switch:
-    ~1e-11 at the f64 threshold 600, ~2e-5 at the f32 threshold 30 —
-    both below the dtype's working precision for this update)."""
+    ~1e-11 at the f64 threshold 600, ~4e-7 at the f32 threshold 80 —
+    both below the dtype's working precision for this update).  The f32
+    threshold sits just below the gammaincc underflow horizon (x ~ 87,
+    where e^{-x} leaves the normal range), so the exact log-space path
+    covers the whole band it can represent."""
     x = jnp.asarray(x)
-    thresh = 600.0 if x.dtype == jnp.float64 else 30.0
+    thresh = 600.0 if x.dtype == jnp.float64 else 80.0
     x_lo = jnp.minimum(x, thresh)
     log_num = jnp.log(_gammaincc(2.0 - c, x_lo)) + gammaln(2.0 - c)
     log_den = jnp.log(_gammaincc(1.0 - c, x_lo)) + gammaln(1.0 - c)

@@ -120,7 +120,9 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
     # Per-cell vector-op inventory: ~8 probit base + ~8 epilogue/stats
     # + ~15 chain (mu/logit/sigmoid/delta/stores) + sweep_sub push FMAs.
     cells = p_pad * q_pad
-    ops_per_cell = 31 + 8  # Config.sweep_sub default
+    # push-FMA count follows the kernel's actual chain window (auto:
+    # sub=8 for n<=2048, sub=32 deep-n) — a literal 8 misprices pod shapes
+    ops_per_cell = 31 + gl._fused_sub(n_pad, cfg)
     t_vpu_ms = cells * ops_per_cell / (8 * 128 * 0.94e9) * 1e3
     t_dma_ms = byt / 819e9 * 1e3
     sol = {"vpu_model_ms": round(t_vpu_ms, 1),
@@ -129,6 +131,36 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
            "sol_frac": round(max(t_vpu_ms, t_dma_ms) / (dt * 1e3), 3)}
     return dt * 1e3, byt, {"timing_reps_ms": [round(r * 1e3, 2) for r in reps],
                            "unstable": bool(unstable), "sol": sol}
+
+
+def _truth_metrics(res, p, q):
+    """Power/FDR against the simulation's KNOWN truth (_sim plants a dense
+    active block: predictors [0, p_act) x traits [0, q_hit)): pair-level
+    precision/recall at 5% bFDR and the hotspot ranking AUC.  The
+    reference's statistical validation lives in its paper (SURVEY §4);
+    these gates bring it in-repo so e.g. `hotspots_called` is
+    interpretable against `true_hotspots`."""
+    from scipy.stats import rankdata
+    from atlasqtl_tpu import assign_bfdr
+
+    p_act = max(10, p // 100)
+    q_hit = max(2, q // 5)
+    truth = np.zeros((p, q), bool)
+    truth[:p_act, :q_hit] = True
+    sel = assign_bfdr(res.gam_vb) <= 0.05
+    tp = int((sel & truth).sum())
+    fp = int((sel & ~truth).sum())
+    fn = int((~sel & truth).sum())
+    score = res.gam_vb.max(axis=1)           # hotspot propensity ranking
+    lab = np.zeros(p, bool)
+    lab[:p_act] = True
+    r = rankdata(score)                      # average ranks on ties
+    n1, n0 = int(lab.sum()), int((~lab).sum())
+    auc = (r[lab].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    return {"pair_precision_bfdr05": round(tp / max(tp + fp, 1), 3),
+            "pair_recall_bfdr05": round(tp / max(tp + fn, 1), 3),
+            "pairs_called": tp + fp, "true_pairs": int(truth.sum()),
+            "hotspot_auc": round(float(auc), 3), "true_hotspots": p_act}
 
 
 def _fit_bench(n, p, q, label, seed=0, fdr_call=False, perm=False):
@@ -146,14 +178,19 @@ def _fit_bench(n, p, q, label, seed=0, fdr_call=False, perm=False):
     out = {"seconds_to_convergence": round(dt, 3), "iterations": res.it,
            "converged": bool(res.converged),
            "it_per_s": round(res.it / dt, 2)}
+    out.update(_truth_metrics(res, p, q))
     if fdr_call:
         hot = res.hotspot_sizes(thres=0.05, fdr_adjust=True)  # 5% bFDR
         out["hotspots_called"] = int((hot > 0).sum())
     if perm:
         rng = np.random.default_rng(seed + 1)
         t0 = time.time()
-        aq.atlasqtl(y[rng.permutation(n)], x, **kw)
+        null_res = aq.atlasqtl(y[rng.permutation(n)], x, **kw)
         out["null_fit_seconds"] = round(time.time() - t0, 3)
+        # permuted responses carry NO signal: anything called is a false
+        # positive (the calibration half of the power/FDR gate)
+        out["null_pairs_called"] = int(
+            (aq.assign_bfdr(null_res.gam_vb) <= 0.05).sum())
     return out
 
 

@@ -83,3 +83,25 @@ def test_device_loop_matches_host_under_mesh():
     host = aq.atlasqtl(y, x, device_loop="off", **base)
     dev = aq.atlasqtl(y, x, device_loop="on", **base)
     _assert_same(host, dev)
+
+
+def test_device_loop_elbo_buf_overflow_warns(fixture_small, monkeypatch,
+                                             caplog):
+    """A run with more ELBO evaluations than the fixed device-side trace
+    buffer must warn about the truncated host history (VERDICT r4 weak #6)
+    — convergence/guard logic runs on device and is unaffected."""
+    import logging
+    from atlasqtl_tpu.inference import device_loop
+
+    monkeypatch.setattr(device_loop, "ELBO_BUF", 4)
+    monkeypatch.setattr(device_loop, "_loops", {})  # drop cached loops
+    y, x, _ = fixture_small
+    with caplog.at_level(logging.WARNING,
+                         logger="atlasqtl_tpu.inference.driver"):
+        dev = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                          user_seed=123, anneal=None, tol=1e-12, maxit=20,
+                          thinned_elbo_eval=False, device_loop="on")
+    assert not dev.converged
+    assert any("ELBO trace truncated" in r.getMessage()
+               for r in caplog.records)
+    assert len(dev.elbo_history) <= 4
