@@ -14,6 +14,7 @@ from .inference.elicitation import (set_hyper, set_init, auto_set_hyper,
 from .inference.summarise import assign_bfdr, AtlasQTLResult
 from .inference.permutation import permutation_null_calibration
 from .io.checkpoint import load_checkpoint
+from .parallel.distributed import initialize as initialize_distributed
 from .types import Config
 
 __version__ = "0.1.0"
@@ -23,4 +24,5 @@ __all__ = [
     "map_hyperprior_elicitation", "assign_bfdr", "AtlasQTLResult",
     "permutation_null_calibration",
     "load_checkpoint", "Config", "HyperSpec", "InitSpec",
+    "initialize_distributed",
 ]

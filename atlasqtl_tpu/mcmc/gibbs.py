@@ -256,7 +256,8 @@ def run_gibbs(data: Data, hyper: Hyper, cfg: Config, n_samples: int,
     (pip (p,q), beta_mean (p,q), theta_mean (p,), zeta_mean (q,))."""
     from ..ops.sweep import block_gram
 
-    block = min(cfg.block_size, data.x.shape[1])
+    from ..models.global_local import data_block
+    block = data_block(cfg, data)
     gram_blocks = jax.jit(block_gram, static_argnums=1)(data.x, block)
     key = jax.random.key(seed, impl="rbg")
     state = init_state(key, data, cfg)

@@ -259,7 +259,8 @@ def run_nuts(data: Data, hyper: Hyper, cfg: Config, n_samples: int,
     dt = cfg.dtype
     p_pad = data.x.shape[1]
     q_pad = data.y.shape[1]
-    block = min(cfg.block_size, p_pad)
+    from ..models.global_local import data_block
+    block = data_block(cfg, data)
     gram_blocks = jax.jit(block_gram, static_argnums=1)(data.x, block)
     key = jax.random.key(seed, impl="rbg")
     state = init_state(key, data, cfg)

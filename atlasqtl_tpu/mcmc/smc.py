@@ -53,7 +53,8 @@ def run_smc(data: Data, hyper: Hyper, cfg: Config, n_particles: int = 32,
     """
     from ..ops.sweep import block_gram
 
-    block = min(cfg.block_size, data.x.shape[1])
+    from ..models.global_local import data_block
+    block = data_block(cfg, data)
     gram_blocks = jax.jit(block_gram, static_argnums=1)(data.x, block)
 
     master = jax.random.key(seed, impl="rbg")

@@ -218,7 +218,8 @@ def compute_elbo(data: Data, hyper: Hyper, state: VBState, *,
                           data64.q_mask)
 
     p_pad, q_pad = state.gam.shape
-    block = min(cfg.block_size, p_pad)
+    from .global_local import divisor_block
+    block = divisor_block(cfg.block_size, p_pad)
     nb = p_pad // block
 
     def bg_block(acc, idx):

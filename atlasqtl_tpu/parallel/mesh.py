@@ -56,13 +56,39 @@ def _has_p(mesh: Mesh) -> bool:
 
 def _put(tree, mesh, spec_fn):
     two_d = _has_p(mesh)
+    multiproc = jax.process_count() > 1
 
     def place(path, leaf):
         if leaf is None:
             return None
         spec = spec_fn(path, leaf, two_d)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            # plain device_put cannot place shards on non-addressable
+            # devices; under multi-process every process holds the full
+            # host array (the atlasqtl data contract — X/Y come from a
+            # shared filesystem) and global_shape == local.shape tells JAX
+            # to slice each device's addressable shard out of it
+            local = np.asarray(leaf)
+            return jax.make_array_from_process_local_data(
+                sharding, local, local.shape)
+        return jax.device_put(leaf, sharding)
     return jax.tree_util.tree_map_with_path(place, tree)
+
+
+def to_host(arr) -> np.ndarray:
+    """Global jax.Array -> host numpy on every process.
+
+    Fully-addressable or fully-replicated arrays convert directly; arrays
+    with non-addressable shards (q/p-sharded outputs under multi-process)
+    are gathered with ``process_allgather`` so every process assembles the
+    same full result (reference parity: the R API always returns full
+    matrices)."""
+    if isinstance(arr, jax.Array) and not (
+            arr.is_fully_addressable or arr.is_fully_replicated):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
 
 
 def _data_spec(path, leaf, two_d):

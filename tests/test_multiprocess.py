@@ -1,0 +1,85 @@
+"""Multi-process (multi-host analog) execution: 2 localhost CPU processes
+with 4 virtual devices each must reproduce the single-process 8-device fit
+exactly (VERDICT r4 missing #1; SURVEY §7 step 6).
+
+This exercises the real multi-host code paths — jax.distributed
+initialization, process-aware array placement
+(make_array_from_process_local_data in parallel/mesh.py:_put), cross-process
+collectives, and process_allgather result assembly (mesh.py:to_host) — with
+localhost TCP standing in for DCN."""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import atlasqtl_tpu as aq
+from atlasqtl_tpu.parallel.mesh import make_mesh
+from conftest import simulate_fixture
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _mp_env(n_dev):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("_ATLASQTL_TEST_REEXEC", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "1"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
+    return env
+
+
+def _run_pair(tmp_path, mesh_kind):
+    port = _free_port()
+    script = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(port), str(i), "2", outs[i], mesh_kind],
+        env=_mp_env(4), stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = []
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for p2 in procs:
+                p2.kill()
+            raise
+        logs.append(out.decode(errors="replace"))
+    for pr, lg in zip(procs, logs):
+        assert pr.returncode == 0, f"mp worker failed:\n{lg[-4000:]}"
+    return [dict(np.load(o)) for o in outs]
+
+
+@pytest.mark.parametrize("mesh_kind", ["1d", "2d"])
+def test_two_process_fit_matches_single(tmp_path, mesh_kind):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    results = _run_pair(tmp_path, mesh_kind)
+
+    # single-process reference on the same 8 (local) devices
+    y, x, _ = simulate_fixture(q=32)
+    mesh = make_mesh(jax.devices()[:8],
+                     p_shards=2 if mesh_kind == "2d" else 1)
+    ref = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                      user_seed=123, mesh=mesh)
+
+    for r in results:
+        assert bool(r["converged"]) == ref.converged
+        assert int(r["it"]) == ref.it
+        np.testing.assert_allclose(float(r["lb"]), ref.lb_opt, rtol=1e-10)
+        np.testing.assert_allclose(r["gam"], ref.gam_vb, atol=1e-10)
+        np.testing.assert_allclose(r["beta"], ref.beta_vb, atol=1e-10)
+        np.testing.assert_allclose(r["theta"], ref.theta_vb, atol=1e-10)
+        np.testing.assert_allclose(r["zeta"], ref.zeta_vb, atol=1e-10)
+    # both processes assembled identical full results (to_host allgather)
+    np.testing.assert_array_equal(results[0]["gam"], results[1]["gam"])
