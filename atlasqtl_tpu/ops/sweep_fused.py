@@ -72,7 +72,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                   mxu_bf16: bool, emit: bool, row_major: bool = False,
                   push_aligned: bool = True, chain_regs: bool = True,
                   c_one: bool = False, lookahead: bool = False,
-                  probe: str = "none"):
+                  interleave: bool = False, probe: str = "none"):
     # unpack (the lookahead variant carries two extra inputs and one extra
     # scratch buffer; pallas passes inputs, then outputs, then scratch)
     if lookahead:
@@ -113,7 +113,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
     # the logit stays in log space throughout — an odds-ratio form would
     # need Phi(-u)/Phi(u) * exp(-m), which silently collapses to
     # 0*inf / 1-instead-of-0 in the double-extreme corner.
-    if probe not in ("jacobi_min", "nomxu"):
+    if probe not in ("jacobi_min", "nomxu", "chain_only"):
         l_blk = l_ref[:, :]                 # (B, r+2)
         dot = functools.partial(
             jax.lax.dot_general,
@@ -159,7 +159,9 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=r_scr.dtype)
 
-    if probe == "nomxu":  # PERF PROBE: no projections (wrong math)
+    if probe in ("nomxu", "nor0", "chain_only"):
+        # PERF PROBE: no r0 projection dot (wrong math).  "nor0" keeps the
+        # chain + F advance to isolate just the deep x^T F contraction.
         r_scr[:, :] = cp_ref[:, :]
     elif lookahead:
         # One-block-lookahead schedule: block b's raw projection was
@@ -185,7 +187,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
 
     # remove each coordinate's own diagonal contribution once, as a tile op
     # (beta_ref holds the pre-sweep values every row's update subtracts)
-    if probe != "nomxu":
+    if probe not in ("nomxu", "nor0", "chain_only"):
         r_scr[:, :] = r_scr[:, :] - beta_ref[:, :] * d_diag
 
     # ---- sub-blocked sequential Gauss-Seidel --------------------------
@@ -205,7 +207,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
         mu_scr[:, :] = mu_blk
     n_sub = (bsz // sub
              if probe in ("none", "exact_noz", "noseq", "nosig", "norank",
-                          "dmalite")
+                          "dmalite", "noadv", "nor0", "chain_only")
              else 0)
     # The per-row chain values are (1, q) vectors of 128-lane vregs; at the
     # full tile width (~16 vregs each, ~6 live per row) they blow past the
@@ -270,7 +272,40 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=r_scr.dtype)
             r_scr[lo:lo + sub, :] = r_scr[lo:lo + sub, :] + corr
-        if chain_regs:
+        if chain_regs and interleave and nqc > 1:
+            # Interleaved register-carried chains: the q-chunks are fully
+            # independent (every cross-row correction is columnwise), so
+            # running their per-row ops CHUNK-INNER gives Mosaic's
+            # scheduler nqc independent instruction streams per coordinate
+            # to hide the serial chain's op latency (mu -> logit ->
+            # sigmoid -> delta -> push is one dependency chain per chunk).
+            # Per column the op sequence — and hence the f32 result — is
+            # bitwise identical to the chunk-outer order below.
+            rblks = [r_scr[lo:lo + sub, qc * qch:(qc + 1) * qch]
+                     for qc in range(nqc)]
+            for i in range(sub):
+                row = lo + i
+                deltas = []
+                for qc in range(nqc):
+                    ql = qc * qch
+                    mu_new = ct[ql:ql + qch] * (cp_ref[row, ql:ql + qch]
+                                                - rblks[qc][i])
+                    logit = (ad_scr[row, ql:ql + qch]
+                             + mu_new * mu_new * c_inv_2s2[ql:ql + qch])
+                    if probe == "nosig":  # PERF PROBE (wrong math)
+                        gam_new = jnp.clip(logit, 0.0, 1.0)
+                    else:
+                        gam_new = jax.nn.sigmoid(logit)
+                    delta_i = gam_new * mu_new - beta_ref[row, ql:ql + qch]
+                    delta_scr[row, ql:ql + qch] = delta_i
+                    gam_scr[row, ql:ql + qch] = gam_new
+                    mu_scr[row, ql:ql + qch] = mu_new
+                    deltas.append(delta_i)
+                if i < sub - 1 and probe != "noseq":
+                    gcol = g_ref[lo:lo + sub, row][:, None]
+                    rblks = [rblks[qc] + gcol * deltas[qc][None, :]
+                             for qc in range(nqc)]
+        elif chain_regs:
             # register-carried window chain: the window's residual block
             # lives as ONE (sub, qch) SSA value — a (16, 512) f32 value is
             # just 8 full-density vregs — so every right-looking push is a
@@ -323,7 +358,10 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                         _push(row, lo, delta_i, ql, qch)
 
     # ---- advance the resident F tile (MXU) ----
-    if probe == "nomxu":  # PERF PROBE: no F advance (wrong math)
+    if probe in ("nomxu", "noadv", "chain_only"):
+        # PERF PROBE: no F advance (wrong math).  "noadv" keeps everything
+        # else to isolate just the (n, B) @ (B, QT) advance dot + its
+        # VMEM read-modify-write of the resident F tile.
         pass
     elif mxu_bf16:
         f_scr[:, :] = f_scr[:, :] + jax.lax.dot_general(
@@ -389,7 +427,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
     # masked z = msk*(gam_m*imrd + imr0u) = msk*(gam*imrd + imr0u) since
     # msk^2 = msk, so the sums take the same pm-dot / qm-scale route.
     if probe in ("exact_noz", "jacobi_min", "nomxu", "noseq", "nosig",
-                 "norank"):
+                 "norank", "chain_only"):
         z_raw = gam_scr[:, :]  # PERF PROBE: skip the Z Mills (wrong math)
     else:
         z_raw = gam_scr[:, :] * imrd_scr[:, :] + imr0u_scr[:, :]
@@ -432,7 +470,7 @@ def _fused_kernel(scal_ref, x_ref, g_ref, l_ref, n_ref, cp_ref, beta_ref,
                    static_argnames=("block_size", "q_tile", "sub", "qchunk",
                                     "mxu_bf16", "emit_gam_mu", "row_major",
                                     "push_aligned", "chain_regs", "c_one",
-                                    "lookahead", "probe"))
+                                    "lookahead", "interleave", "probe"))
 def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
                 pm8, zeta, q_mask, sig2_beta, tau, c, kz,
                 block_size: int = 128, q_tile: int = 1024, sub: int = 16,
@@ -440,7 +478,7 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
                 mxu_bf16: bool = False, emit_gam_mu: bool = True,
                 row_major: bool = False, push_aligned: bool = True,
                 chain_regs: bool = True, c_one: bool = False,
-                lookahead: bool = False,
+                lookahead: bool = False, interleave: bool = False,
                 probe: str = "none"):
     """One full Gauss-Seidel sweep (+ fused Z/column reductions) as a single
     pallas_call.
@@ -550,7 +588,8 @@ def sweep_fused(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8,
                           qchunk=qchunk, mxu_bf16=mxu_bf16, emit=emit_gam_mu,
                           row_major=row_major, push_aligned=push_aligned,
                           chain_regs=chain_regs, c_one=c_one,
-                          lookahead=lookahead, probe=probe),
+                          lookahead=lookahead, interleave=interleave,
+                          probe=probe),
         grid=(qtiles, nb),
         in_specs=in_specs,
         out_specs=(tile(), *gm_specs,
@@ -593,7 +632,7 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
                          mxu_bf16: bool = False, emit_gam_mu: bool = True,
                          row_major: bool = False, push_aligned: bool = True,
                          chain_regs: bool = True, annealed: bool = False,
-                         lookahead: bool = False,
+                         lookahead: bool = False, interleave: bool = False,
                          probe: str = "none"):
     """Driver-facing wrapper matching ops/sweep.py:sweep_complete, carrying
     beta = gam * mu_beta (see module docstring).  annealed=False asserts
@@ -627,4 +666,5 @@ def sweep_complete_fused(x, cp_x_y, gram_blocks, beta, fitted,
         qchunk=qchunk, mxu_bf16=mxu_bf16, emit_gam_mu=emit_gam_mu,
         row_major=row_major, push_aligned=push_aligned,
         chain_regs=chain_regs, c_one=not annealed,
-        lookahead=lookahead and probe == "none", probe=probe)
+        lookahead=lookahead and probe == "none", interleave=interleave,
+        probe=probe)

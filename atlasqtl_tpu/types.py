@@ -183,6 +183,15 @@ class Config:
     # chain; 0 = auto (q_tile/2 for q_tile >= 4096, else 512 — measured
     # best; models/global_local.py:_fused_qchunk) — keeps per-row live
     # vectors in vregs
+    sweep_interleave: bool = False  # interleave the independent q-chunk
+    # chains per coordinate (chunk-INNER loop order): same per-column op
+    # sequence (bitwise identical), but Mosaic's scheduler gets nqc
+    # independent dependency chains to hide the serial per-row latency —
+    # a candidate for deep-n shapes where the chain is latency-bound
+    sweep_probe: str = "none"  # PERF PROBE selector for the fused sweep
+    # (wrong math for any value but "none"; never set in production).
+    # See ops/sweep_fused.py: jacobi/jacobi_min/nomxu/noseq/nosig/norank/
+    # exact_noz/dmalite/noadv/nor0/chain_only
     debug: bool = True
     thinned_elbo_eval: bool = True
     device_loop: str = "auto"  # "auto" | "on" | "off": run the annealing
