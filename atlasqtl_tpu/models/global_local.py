@@ -553,16 +553,30 @@ def _cavi_iteration_impl(data: Data, hyper: Hyper, state: VBState,
                     consts, block, emit_gam_mu=not lite, annealed=annealed)
             else:
                 q_tile = _fused_q_tile(n, data.y.shape[1])
-                (beta_new, gam_new, mu_new, fitted, z_row, z_col,
-                 colstats) = sweep_complete_fused(
-                    data.x, cp_x_y, gram_blocks, beta_carry,
-                    state.fitted, consts, block,
-                    p_mask=data.p_mask, q_mask=data.q_mask, q_tile=q_tile,
-                    sub=_fused_sub(n, cfg),
-                    qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
-                    mxu_bf16=cfg.mxu_bf16, lookahead=cfg.sweep_lookahead,
-                    interleave=cfg.sweep_interleave, probe=cfg.sweep_probe,
-                    emit_gam_mu=not lite, annealed=annealed)
+                if (cfg.sweep_stagger and q_tile >= 256
+                        and cfg.sweep_probe == "none"):
+                    from ..ops.sweep_staggered import sweep_complete_staggered
+                    (beta_new, gam_new, mu_new, fitted, z_row, z_col,
+                     colstats) = sweep_complete_staggered(
+                        data.x, cp_x_y, gram_blocks, beta_carry,
+                        state.fitted, consts, block,
+                        p_mask=data.p_mask, q_mask=data.q_mask,
+                        q_tile=q_tile, sub=_fused_sub(n, cfg),
+                        qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
+                        emit_gam_mu=not lite, annealed=annealed)
+                else:
+                    (beta_new, gam_new, mu_new, fitted, z_row, z_col,
+                     colstats) = sweep_complete_fused(
+                        data.x, cp_x_y, gram_blocks, beta_carry,
+                        state.fitted, consts, block,
+                        p_mask=data.p_mask, q_mask=data.q_mask,
+                        q_tile=q_tile, sub=_fused_sub(n, cfg),
+                        qchunk=cfg.sweep_qchunk or _fused_qchunk(q_tile),
+                        mxu_bf16=cfg.mxu_bf16,
+                        lookahead=cfg.sweep_lookahead,
+                        interleave=cfg.sweep_interleave,
+                        probe=cfg.sweep_probe,
+                        emit_gam_mu=not lite, annealed=annealed)
             # the kernel masks beta/gam/mu at write time
         else:
             if impl == "pallas":

@@ -1,0 +1,439 @@
+"""Staggered dual-half fused sweep: overlap the MXU dots with the chain.
+
+The r5 pod-shape probe campaign (docs/DESIGN.md §3, tools/tpu_probe_pod.py)
+showed the fused kernel at deep n is bound by the SERIAL dependency
+r0 -> chain -> advance: the two big MXU contractions expose ~35 ms/iter and
+the sequential chain ~14 ms, yet with the dots removed the chain costs only
+~2 ms over a Jacobi pass — MXU and VPU idle waiting on each other, and the
+one-block-lookahead attempt to overlap them across grid steps serialized
+Mosaic's pipeline instead (r4 dead end).
+
+This kernel overlaps them WITHIN a grid step, which the in-order VLIW
+scheduler can exploit (an issued matmul occupies the MXU asynchronously
+while VPU instructions keep issuing): the q-tile is split into independent
+column halves A and B, with B lagging half a step.  Per grid step b
+(steady state):
+
+    (1) advance_A(b-1)  [MXU]  \
+    (2) chain_B(b-1)    [VPU]   } (2) dependency-free of (1)+(3)
+    (3) r0_A(b)         [MXU]  /
+    (4) advance_B(b-1)  [MXU]  \
+    (5) chain_A(b)      [VPU]   } (5) dependency-free of (4)+(6)
+    (6) r0_B(b)         [MXU]  /
+
+Every operand is ready when issued: (1) needs chain_A(b-1) [prev step (5)],
+(2) needs r0_B(b-1) [prev (6)], (3) needs (1), (4) needs (2), (5) needs
+(3), (6) needs (4).  All per-column op sequences are IDENTICAL to the
+baseline kernel (ops/sweep_fused.py) — the result is bitwise equal per
+column (pinned by tests/test_pallas.py).  Block b-1's outputs complete at
+step b (the A half's gam/mu/Z are buffered one step in VMEM scratch), so
+output index maps shift by one block and the grid gains one drain step.
+
+Reference for the math: src/coreLoop.cpp:38-86 (same flat k-major
+Gauss-Seidel as the baseline kernel).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .interp import K_BASE, tail_interp_operands
+
+
+def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
+                 n_ref, cp_ref, cpp_ref, beta_ref, betap_ref,
+                 s2_ref, tau_ref, zeta_ref, theta_ref, thetap_ref,
+                 pm_ref, pmp_ref, qm_ref, f_hbm_ref,
+                 # outputs (windows at block b-1)
+                 beta_out_ref, gam_out_ref, mu_out_ref, f_out_ref,
+                 zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
+                 # scratch
+                 f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
+                 ad_scr, imrd_scr, imr0u_scr,
+                 gamA_scr, muA_scr, zA_scr, dma_sem,
+                 *, nb: int, qtiles: int, sub: int, qchunk: int,
+                 emit: bool, c_one: bool):
+    t = pl.program_id(0)
+    b = pl.program_id(1)          # 0 .. nb inclusive (one drain step)
+    qt = r_scr.shape[1]
+    h = qt // 2
+    bsz = r_scr.shape[0]
+
+    c = scal_ref[0]
+    d_diag = scal_ref[1]
+    kz = scal_ref[2]
+
+    s2 = s2_ref[0, :]
+    ct_full = c * s2 * tau_ref[0, :]
+    k_full = c * 0.5 / s2
+    zeta = zeta_ref[0, :]
+    qm = qm_ref[0, :]
+
+    first = b == 0
+    last = b == nb
+
+    @pl.when(first)
+    def _():
+        dma = pltpu.make_async_copy(
+            f_hbm_ref.at[:, pl.ds(t * qt, qt)], f_scr, dma_sem)
+        dma.start()
+        dma.wait()
+
+    ldot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=r_scr.dtype)
+
+    def probit_half(theta_blk, l_blk, lo):
+        """ad/imrd/imr0u half-tiles — same math as the baseline kernel."""
+        u = theta_blk[:, None] + zeta[None, lo:lo + h]
+        u2 = u * u
+        s_d = jnp.sqrt(u2 + K_BASE)
+        hu = 0.5 * u
+        nA = n_ref[0][:, lo:lo + h]
+        nB = n_ref[1][:, lo:lo + h]
+        nC = n_ref[2][:, lo:lo + h]
+        if c_one:
+            ad_scr[:, lo:lo + h] = hu * s_d + ldot(l_blk, nA)
+            imrd_scr[:, lo:lo + h] = s_d + ldot(l_blk, nB)
+            imr0u_scr[:, lo:lo + h] = ldot(l_blk, nC) - 0.5 * s_d - hu
+        else:
+            ad_scr[:, lo:lo + h] = c * (hu * s_d) + ldot(l_blk, nA)
+            s_z = jnp.sqrt(u2 + kz)
+            imrd_scr[:, lo:lo + h] = s_z + ldot(l_blk, nB)
+            imr0u_scr[:, lo:lo + h] = ldot(l_blk, nC) - 0.5 * s_z - hu
+
+    def chain_half(lo_col, g_blk, cp_blk, beta_blk):
+        """Sequential Gauss-Seidel on columns [lo_col, lo_col+h) of one
+        block — identical per-column op order to the baseline kernel
+        (register-carried windows; the full-window push FMA's rows <= i
+        are dead, live rows get the same adds in the same order)."""
+        qch = min(qchunk, h)
+        nqc = h // qch
+        for s in range(bsz // sub):
+            lo = s * sub
+            if lo > 0:
+                corr = jax.lax.dot_general(
+                    g_blk[lo:lo + sub, 0:lo],
+                    delta_scr[0:lo, lo_col:lo_col + h],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=r_scr.dtype)
+                r_scr[lo:lo + sub, lo_col:lo_col + h] = (
+                    r_scr[lo:lo + sub, lo_col:lo_col + h] + corr)
+            for qc in range(nqc):
+                ql = lo_col + qc * qch
+                ct_c = ct_full[ql:ql + qch]
+                k_c = k_full[ql:ql + qch]
+                rblk = r_scr[lo:lo + sub, ql:ql + qch]
+                for i in range(sub):
+                    row = lo + i
+                    mu_new = ct_c * (cp_blk[row, ql:ql + qch] - rblk[i])
+                    logit = (ad_scr[row, ql:ql + qch]
+                             + mu_new * mu_new * k_c)
+                    gam_new = jax.nn.sigmoid(logit)
+                    delta_i = gam_new * mu_new - beta_blk[row, ql:ql + qch]
+                    delta_scr[row, ql:ql + qch] = delta_i
+                    gam_scr[row, ql:ql + qch] = gam_new
+                    mu_scr[row, ql:ql + qch] = mu_new
+                    if i < sub - 1:
+                        rblk = (rblk + g_blk[lo:lo + sub, row][:, None]
+                                * delta_i[None, :])
+
+    # (1) advance_A(b-1)  [MXU]
+    @pl.when(jnp.logical_not(first))
+    def _():
+        f_scr[:, 0:h] = f_scr[:, 0:h] + jax.lax.dot_general(
+            xp_ref[:, :], delta_scr[:, 0:h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f_scr.dtype)
+
+    # (2) chain_B(b-1)  [VPU] (+ its probit half-tiles, block b-1)
+    @pl.when(jnp.logical_not(first))
+    def _():
+        probit_half(thetap_ref[0, 0, :], lp_ref[:, :], h)
+        chain_half(h, gp_ref, cpp_ref, betap_ref)
+
+    # (3) r0_A(b)  [MXU] (+ probit half-tiles for block b, half A)
+    @pl.when(jnp.logical_not(last))
+    def _():
+        probit_half(theta_ref[0, 0, :], l_ref[:, :], 0)
+        r0 = jax.lax.dot_general(
+            x_ref[:, :], f_scr[:, 0:h],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=r_scr.dtype)
+        r_scr[:, 0:h] = r0 - beta_ref[:, 0:h] * d_diag
+
+    # (4) advance_B(b-1)  [MXU]
+    @pl.when(jnp.logical_not(first))
+    def _():
+        f_scr[:, h:qt] = f_scr[:, h:qt] + jax.lax.dot_general(
+            xp_ref[:, :], delta_scr[:, h:qt],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f_scr.dtype)
+
+    # ---- emit block b-1 (A half from the one-step buffers, B fresh) ----
+    # Placed between (4) and (5): uses chain_B(b-1)'s gam/mu (op 2) and
+    # the buffered A half; independent of (5)/(6), so it can also overlap
+    # the MXU tail.
+    @pl.when(jnp.logical_not(first))
+    def _():
+        pm = pmp_ref[0, 0, :]
+        gam_full = jnp.concatenate([gamA_scr[:, :], gam_scr[:, h:qt]],
+                                   axis=1)
+        mu_full = jnp.concatenate([muA_scr[:, :], mu_scr[:, h:qt]], axis=1)
+        msk = pm[:, None] * qm[None, :]
+        t_bm = gam_full * mu_full
+        beta_out_ref[:, :] = t_bm * msk
+        if emit:
+            gam_out_ref[:, :] = gam_full * msk
+            mu_out_ref[:, :] = mu_full * msk
+        pm_row = pm.reshape(1, bsz)
+        rdot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=r_scr.dtype)
+        gcol = rdot(pm_row, gam_full)[0] * qm
+        m2gcol = rdot(pm_row, t_bm * mu_full)[0] * qm
+        b2col = rdot(pm_row, t_bm * t_bm)[0] * qm
+        z_raw = jnp.concatenate(
+            [zA_scr[:, :],
+             gam_scr[:, h:qt] * imrd_scr[:, h:qt] + imr0u_scr[:, h:qt]],
+            axis=1)
+        z_qm = z_raw * qm[None, :]
+        zr = jnp.sum(z_qm, axis=1) * pm
+        zc = rdot(pm_row, z_qm)[0]
+        bm1 = b - 1
+
+        @pl.when(t == 0)
+        def _():
+            zrow_scr[0, pl.ds(bm1 * bsz, bsz)] = zr
+
+        @pl.when(t != 0)
+        def _():
+            zrow_scr[0, pl.ds(bm1 * bsz, bsz)] = (
+                zrow_scr[0, pl.ds(bm1 * bsz, bsz)] + zr)
+
+        @pl.when(bm1 == 0)
+        def _():
+            gcol_ref[0, :] = gcol
+            m2gcol_ref[0, :] = m2gcol
+            b2col_ref[0, :] = b2col
+            zcol_ref[0, :] = zc
+
+        @pl.when(bm1 != 0)
+        def _():
+            gcol_ref[0, :] = gcol_ref[0, :] + gcol
+            m2gcol_ref[0, :] = m2gcol_ref[0, :] + m2gcol
+            b2col_ref[0, :] = b2col_ref[0, :] + b2col
+            zcol_ref[0, :] = zcol_ref[0, :] + zc
+
+    # (5) chain_A(b)  [VPU]
+    @pl.when(jnp.logical_not(last))
+    def _():
+        chain_half(0, g_ref, cp_ref, beta_ref)
+
+    # (6) r0_B(b)  [MXU]
+    @pl.when(jnp.logical_not(last))
+    def _():
+        r0 = jax.lax.dot_general(
+            x_ref[:, :], f_scr[:, h:qt],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=r_scr.dtype)
+        r_scr[:, h:qt] = r0 - beta_ref[:, h:qt] * d_diag
+
+    # ---- buffer this step's A-half results for next step's emit ----
+    @pl.when(jnp.logical_not(last))
+    def _():
+        gamA_scr[:, :] = gam_scr[:, 0:h]
+        muA_scr[:, :] = mu_scr[:, 0:h]
+        zA_scr[:, :] = (gam_scr[:, 0:h] * imrd_scr[:, 0:h]
+                        + imr0u_scr[:, 0:h])
+
+    # ---- write-backs at the boundaries ----
+    @pl.when(last)
+    def _():
+        dma = pltpu.make_async_copy(
+            f_scr, f_out_ref.at[:, pl.ds(t * qt, qt)], dma_sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(jnp.logical_and(t == qtiles - 1, last))
+    def _():
+        zrow_ref[0, :] = zrow_scr[0, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "q_tile", "sub", "qchunk",
+                                    "emit_gam_mu", "c_one"))
+def sweep_fused_staggered(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted,
+                          theta8, pm8, zeta, q_mask, sig2_beta, tau, c, kz,
+                          block_size: int = 128, q_tile: int = 1024,
+                          sub: int = 16, qchunk: int = 512,
+                          emit_gam_mu: bool = True, c_one: bool = True):
+    """Staggered sweep as a single pallas_call; same contract as
+    ops/sweep_fused.py:sweep_fused (returns beta', gam'|None, mu'|None,
+    fitted', z_row, z_col, colstats)."""
+    n, p = x.shape
+    q = beta.shape[1]
+    nb = p // block_size
+    qtiles = q // q_tile
+    dt = beta.dtype
+    r_aug = l_aug.shape[1]
+    sub = min(sub, block_size)
+    assert block_size % sub == 0, (block_size, sub)
+    assert q_tile % 2 == 0 and (q_tile // 2) % 128 == 0, q_tile
+    interpret = jax.devices()[0].platform == "cpu"
+
+    scal = jnp.stack([jnp.asarray(c, dt), jnp.asarray(n - 1.0, dt),
+                      jnp.asarray(kz, dt)])
+
+    def clamp_cur(fn):
+        return lambda t_, b_: fn(t_, jnp.minimum(b_, nb - 1))
+
+    def clamp_prev(fn):
+        return lambda t_, b_: fn(t_, jnp.maximum(b_ - 1, 0))
+
+    tile_idx = lambda t_, b_: (b_, t_)
+    tile = lambda idx: pl.BlockSpec((block_size, q_tile), idx,
+                                    memory_space=pltpu.VMEM)
+    vec = lambda: pl.BlockSpec((1, q_tile), lambda t_, b_: (0, t_),
+                               memory_space=pltpu.VMEM)
+    bvec = lambda idx: pl.BlockSpec((1, 8, block_size), idx,
+                                    memory_space=pltpu.VMEM)
+    bvec_idx = lambda t_, b_: (b_, 0, 0)
+    xspec = lambda idx: pl.BlockSpec((n, block_size), idx,
+                                     memory_space=pltpu.VMEM)
+    xidx = lambda t_, b_: (0, b_)
+    gspec = lambda idx: pl.BlockSpec((block_size, block_size), idx,
+                                     memory_space=pltpu.VMEM)
+    gidx = lambda t_, b_: (b_, 0)
+    lspec = lambda idx: pl.BlockSpec((block_size, r_aug), idx,
+                                     memory_space=pltpu.VMEM)
+
+    if emit_gam_mu:
+        gm_specs = [tile(clamp_prev(tile_idx)), tile(clamp_prev(tile_idx))]
+        gm_shapes = [jax.ShapeDtypeStruct((p, q), dt),
+                     jax.ShapeDtypeStruct((p, q), dt)]
+    else:
+        gm_specs = [pl.BlockSpec((block_size, q_tile),
+                                 lambda t_, b_: (0, 0),
+                                 memory_space=pltpu.VMEM) for _ in range(2)]
+        gm_shapes = [jax.ShapeDtypeStruct((block_size, q_tile), dt)
+                     for _ in range(2)]
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),          # scal
+        xspec(clamp_cur(xidx)),                         # x (block b)
+        xspec(clamp_prev(xidx)),                        # x (block b-1)
+        gspec(clamp_cur(gidx)),                         # gram (b)
+        gspec(clamp_prev(gidx)),                        # gram (b-1)
+        lspec(clamp_cur(gidx)),                         # l_aug (b)
+        lspec(clamp_prev(gidx)),                        # l_aug (b-1)
+        pl.BlockSpec((3, r_aug, q_tile), lambda t_, b_: (0, 0, t_),
+                     memory_space=pltpu.VMEM),          # nodes
+        tile(clamp_cur(tile_idx)),                      # cp (b)
+        tile(clamp_prev(tile_idx)),                     # cp (b-1)
+        tile(clamp_cur(tile_idx)),                      # beta (b)
+        tile(clamp_prev(tile_idx)),                     # beta (b-1)
+        vec(), vec(), vec(),                            # s2, tau, zeta
+        bvec(clamp_cur(bvec_idx)),                      # theta8 (b)
+        bvec(clamp_prev(bvec_idx)),                     # theta8 (b-1)
+        bvec(clamp_cur(bvec_idx)),                      # pm8 (b)
+        bvec(clamp_prev(bvec_idx)),                     # pm8 (b-1)
+        vec(),                                          # q_mask
+        pl.BlockSpec(memory_space=pl.ANY),              # fitted (HBM)
+    ]
+    operands = [scal, x, x, gram_flat, gram_flat, l_aug, l_aug, n_stack,
+                cp_x_y, cp_x_y, beta, beta,
+                sig2_beta[None, :], tau[None, :], zeta[None, :],
+                theta8, theta8, pm8, pm8, q_mask[None, :], fitted]
+    half = q_tile // 2
+    scratch = [
+        pltpu.VMEM((n, q_tile), dt),            # F tile
+        pltpu.VMEM((block_size, q_tile), dt),   # residual projections
+        pltpu.VMEM((block_size, q_tile), dt),   # delta
+        pltpu.VMEM((block_size, q_tile), dt),   # gam values
+        pltpu.VMEM((block_size, q_tile), dt),   # mu values
+        pltpu.VMEM((1, p), dt),                 # z_row accumulator
+        pltpu.VMEM((block_size, q_tile), dt),   # ad tile
+        pltpu.VMEM((block_size, q_tile), dt),   # imrd tile
+        pltpu.VMEM((block_size, q_tile), dt),   # imr0u tile
+        pltpu.VMEM((block_size, half), dt),     # gam A buffer
+        pltpu.VMEM((block_size, half), dt),     # mu A buffer
+        pltpu.VMEM((block_size, half), dt),     # z A buffer
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(_stag_kernel, nb=nb, qtiles=qtiles, sub=sub,
+                          qchunk=qchunk, emit=emit_gam_mu, c_one=c_one),
+        grid=(qtiles, nb + 1),
+        in_specs=in_specs,
+        out_specs=(tile(clamp_prev(tile_idx)), *gm_specs,
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec((1, p), lambda t_, b_: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   vec(), vec(), vec(), vec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, q), dt),        # beta'
+            *gm_shapes,                              # gam', mu'
+            jax.ShapeDtypeStruct((n, q), dt),        # fitted'
+            jax.ShapeDtypeStruct((1, p), dt),        # z_row
+            jax.ShapeDtypeStruct((1, q), dt),        # z_col
+            jax.ShapeDtypeStruct((1, q), dt),
+            jax.ShapeDtypeStruct((1, q), dt),
+            jax.ShapeDtypeStruct((1, q), dt),
+        ),
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA],
+        # fitted aliases f_out (read once at step 0, written at the drain
+        # step).  beta is NOT aliased: it is read through two windows (b
+        # and b-1) while the output writes block b-1 — aliasing would
+        # force XLA to copy the whole array defensively.
+        input_output_aliases={20: 3},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    beta_out, gam_out, mu_out, f_out, zrow, zcol, gcol, m2gcol, b2col = out
+    if emit_gam_mu:
+        gam_out_r, mu_out_r = gam_out, mu_out
+    else:
+        gam_out_r = mu_out_r = None
+    return (beta_out, gam_out_r, mu_out_r, f_out, zrow[0], zcol[0],
+            (gcol[0], m2gcol[0], b2col[0]))
+
+
+def sweep_complete_staggered(x, cp_x_y, gram_blocks, beta, fitted,
+                             consts, block_size, p_mask=None, q_mask=None,
+                             q_tile: int = 1024, sub: int = 16,
+                             qchunk: int = 512, interp_r: int = 40,
+                             emit_gam_mu: bool = True,
+                             annealed: bool = False):
+    """Driver-facing wrapper matching sweep_complete_fused."""
+    import numpy as np
+
+    n, p = x.shape
+    q = beta.shape[1]
+    nb = p // block_size
+    gram_flat = gram_blocks.reshape(nb * block_size, block_size)
+    if p_mask is None:
+        p_mask = jnp.ones((p,), beta.dtype)
+    if q_mask is None:
+        q_mask = jnp.ones((q,), beta.dtype)
+    theta8 = jnp.broadcast_to(
+        consts.theta.reshape(nb, 1, block_size), (nb, 8, block_size))
+    pm8 = jnp.broadcast_to(
+        p_mask.reshape(nb, 1, block_size), (nb, 8, block_size))
+    cst = -0.5 * (consts.log_tau + consts.log_sig2_inv
+                  + jnp.log(consts.sig2_beta))
+    l_aug, n_stack, kz = tail_interp_operands(
+        consts.theta, consts.zeta, cst, consts.c, p_mask, r=interp_r)
+    return sweep_fused_staggered(
+        x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted, theta8, pm8,
+        consts.zeta, q_mask, consts.sig2_beta, consts.tau, consts.c, kz,
+        block_size=block_size, q_tile=q_tile, sub=sub, qchunk=qchunk,
+        emit_gam_mu=emit_gam_mu, c_one=not annealed)

@@ -183,6 +183,11 @@ class Config:
     # chain; 0 = auto (q_tile/2 for q_tile >= 4096, else 512 — measured
     # best; models/global_local.py:_fused_qchunk) — keeps per-row live
     # vectors in vregs
+    sweep_stagger: bool = False  # staggered dual-half fused sweep
+    # (ops/sweep_staggered.py): overlap the MXU dots with the sequential
+    # chain by processing two independent q-tile column halves half a
+    # step apart — the r5 fix for the deep-n serial r0->chain->advance
+    # dependency (pod probe campaign, docs/DESIGN.md §3)
     sweep_interleave: bool = False  # interleave the independent q-chunk
     # chains per coordinate (chunk-INNER loop order): same per-column op
     # sequence (bitwise identical), but Mosaic's scheduler gets nqc

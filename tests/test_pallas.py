@@ -365,3 +365,59 @@ def test_fused_interleave_bitwise_equal(c_anneal):
     for j in range(3):
         np.testing.assert_array_equal(np.asarray(b[6][j]),
                                       np.asarray(a[6][j]), err_msg=f"cs{j}")
+
+
+@pytest.mark.parametrize("c_anneal", [False, True])
+@pytest.mark.parametrize("emit", [True, False])
+def test_staggered_bitwise_equals_fused(c_anneal, emit):
+    """The staggered dual-half sweep (ops/sweep_staggered.py) reorders ops
+    only ACROSS independent column halves; per column the op sequence is
+    identical to the baseline fused kernel, so every output must be
+    bitwise equal."""
+    from atlasqtl_tpu.types import Config
+    from atlasqtl_tpu.models import global_local as gl
+    from atlasqtl_tpu.inference import elicitation as elic
+    from atlasqtl_tpu.io.prepare import prepare_data
+    from atlasqtl_tpu.ops.sweep import SweepConsts, block_gram
+    from atlasqtl_tpu.ops.sweep_fused import sweep_complete_fused
+    from atlasqtl_tpu.ops.sweep_staggered import sweep_complete_staggered
+    from atlasqtl_tpu.ops.updates import sig2_beta_update
+
+    y, x, _ = simulate_fixture(n=80, p=300, p_act=8, q=256, seed=7)
+    dat = prepare_data(y, x, 0.1, 1000)
+    p_eff, q_eff = dat.x.shape[1], dat.y.shape[1]
+    cfg = Config(dtype=jnp.float32, block_size=128, shr_fac_inv=float(q_eff))
+    data = gl.build_data(dat.x, dat.y, cfg, q_pad_to=256)
+    init = elic.auto_set_init(dat.y, p_eff, (4, 16), float(q_eff), 7)
+    state = gl.build_state(init, data, cfg)
+    gram = block_gram(data.x, cfg.block_size)
+    q_pad = data.y.shape[1]
+    rng = np.random.default_rng(1)
+    tau = jnp.asarray(rng.uniform(0.5, 2.0, q_pad), jnp.float32)
+    c = jnp.asarray(0.5 if c_anneal else 1.0, jnp.float32)
+    s2 = sig2_beta_update(data.n, jnp.asarray(0.7, jnp.float32), tau, None, c)
+    consts = SweepConsts(sig2_beta=s2, tau=tau, log_tau=jnp.log(tau),
+                         log_sig2_inv=jnp.asarray(-0.3, jnp.float32),
+                         theta=state.theta, zeta=state.zeta, c=c)
+    beta0 = state.gam * state.mu_beta
+    kw = dict(p_mask=data.p_mask, q_mask=data.q_mask, q_tile=256, sub=8,
+              qchunk=128, annealed=c_anneal, emit_gam_mu=emit)
+    a = sweep_complete_fused(data.x, data.cp_x_y, gram, beta0, state.fitted,
+                             consts, 128, **kw)
+    b = sweep_complete_staggered(data.x, data.cp_x_y, gram, beta0,
+                                 state.fitted, consts, 128, **kw)
+    names = ["beta", "gam", "mu", "fitted", "z_row", "z_col"]
+    for i, nm in enumerate(names):
+        if a[i] is None:
+            assert b[i] is None
+            continue
+        np.testing.assert_array_equal(np.asarray(b[i]), np.asarray(a[i]),
+                                      err_msg=nm)
+    # the fused column statistics ride in-kernel reduction dots whose f32
+    # summation order is backend/fusion-context dependent (both kernels
+    # drift ~1e-6 relative from a naive recompute, equally) — allclose,
+    # not bitwise
+    for j in range(3):
+        np.testing.assert_allclose(np.asarray(b[6][j]),
+                                   np.asarray(a[6][j]), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"cs{j}")
