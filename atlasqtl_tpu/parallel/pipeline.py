@@ -34,6 +34,25 @@ from ..models.global_local import _fused_sub as _fsub
 from ..ops.sweep import SweepConsts, sweep_complete
 
 
+# Per-pipeline-step fixed overhead in q-columns-of-tile-compute, measured
+# on a real v5e chip at the pod per-chip shard shape (r5,
+# tools/tpu_stage_timing.py: stage(qt) ~= 7.71 ms + 0.00397 ms/qcol at
+# n=5k, p_local=37.5k -> A = a/b ~= 1940 qcols).  The fixed part is the
+# per-stage x_local streaming + the serial-dependency cost of the fused
+# sweep over p_local — it dwarfs the per-qcol compute, so real-hardware
+# pipelines want LARGE tiles (T ~= 2-4), not the asymptotic T >= 2P rule
+# (which the dispatch-bound CPU-mesh numbers of r3/r4 could not see).
+TPU_STEP_OVERHEAD_QCOLS = 1940.0
+
+
+def resolve_step_overhead(cfg_value: float, on_accel: bool) -> float:
+    """cfg.pipeline_step_overhead_qcols == 0 means auto: the measured TPU
+    constant on accelerators, the asymptotic rule (0) on CPU meshes."""
+    if cfg_value > 0.0:
+        return cfg_value
+    return TPU_STEP_OVERHEAD_QCOLS if on_accel else 0.0
+
+
 def pick_q_tile(q_local: int, p_shards: int, n: int, prefer_fused: bool,
                 step_overhead_qcols: float = 0.0):
     """Tile width: divides q_local; the fused kernel additionally wants
@@ -145,7 +164,8 @@ def pipelined_sweep_2d(mesh, cfg, data, state, beta_carry, gram_blocks,
     use_fused = (cfg.dtype == jnp.float32 and cfg.sweep in ("auto", "fused")
                  and (on_accel or cfg.sweep == "fused"))
     qt = pick_q_tile(q_local, P_sh, n, use_fused,
-                 cfg.pipeline_step_overhead_qcols)
+                     resolve_step_overhead(
+                         cfg.pipeline_step_overhead_qcols, on_accel))
     assert qt is not None, (q_local, P_sh)
     T = q_local // qt
     lite = use_fused and not emit_gam_mu
@@ -366,7 +386,9 @@ def pipelined_sweep_missing_2d(mesh, cfg, data, state, consts, block):
     n = data.x.shape[0]
     q_local = data.y.shape[1] // Q_sh
     qt = pick_q_tile(q_local, P_sh, n, False,
-                 cfg.pipeline_step_overhead_qcols)
+                     resolve_step_overhead(
+                         cfg.pipeline_step_overhead_qcols,
+                         jax.devices()[0].platform != "cpu"))
     assert qt is not None, (q_local, P_sh)
     T = q_local // qt
     mis_block = (cfg.mis_block if data.mis_pair_gram is not None else 1)

@@ -208,6 +208,7 @@ class Config:
                                    # (2-D pod-scale mesh; pipelined sweep)
     pipeline_step_overhead_qcols: float = 0.0  # per-pipeline-step fixed
     # overhead in q-columns-of-tile-compute units (parallel/pipeline.py:
-    # pick_q_tile cost model; 0 = asymptotic T >= 2P rule).  Calibrate
-    # with tools/measure_pipeline.py — the 8-virtual-device CPU mesh
-    # measures ~15 qcols (docs/DESIGN.md S6); real ICI is far smaller.
+    # pick_q_tile cost model).  0 = AUTO: the r5 real-chip measurement
+    # (~1940 qcols at the pod per-chip shard, tools/tpu_stage_timing.py)
+    # on accelerators, the asymptotic T >= 2P rule on CPU meshes.  Set
+    # explicitly to override after re-measuring on new hardware.

@@ -3,14 +3,20 @@
 
 Prints ONE JSON line.  Headline metric: CAVI iterations/s at the eQTL-scale
 single-host config (n=1k, p=50k SNPs, q=10k traits) on the available
-accelerator.  `vs_baseline` reports the fraction of the BINDING-resource
+accelerator, measured DEVICE-RESIDENT (K iterations per lax.scan dispatch
+— the production fit path; the old per-dispatch mode carries ~6 ms/iter of
+host/tunnel overhead the device never sees and is reported as a
+diagnostic).  `vs_baseline` reports the fraction of the BINDING-resource
 speed of light achieved by the steady-state (lite) iteration — the r4
 probe attribution (docs/DESIGN.md S3) showed the fused kernel's input DMA
 fully overlapped and the VPU issue rate binding, so the honest ceiling is
 max(VPU-op model, HBM-bytes model), not HBM alone (the old `roofline_frac`
-is still reported per config for cross-round continuity).  The reference
-publishes no numbers (BASELINE.md), so the scale is the hardware ceiling,
-not a synthetic slowdown factor.
+is still reported per config for cross-round continuity).  The model is
+externally witnessed by a hardware profiler trace (r5, docs/TRACE_r5.md):
+kernel device-busy time 23.85 ms/iter at the eQTL shape with busy == span
+(no stalls), vs the 20.8 ms VPU-op model.  The reference publishes no
+numbers (BASELINE.md), so the scale is the hardware ceiling, not a
+synthetic slowdown factor.
 
 Extra keys:
   hbm_gbps          achieved HBM bandwidth of the lite iteration (GB/s)
@@ -54,6 +60,30 @@ def _sim(n, p, q, p_act=None, seed=0, missing_frac=0.0):
     return x, y
 
 
+_SCAN = {}
+
+
+def _scan_iters(data, hyper, state, gram, *, cfg, k):
+    """K lite CAVI iterations in ONE dispatch (lax.scan) — the
+    device-resident measurement mode (mirrors inference/device_loop.py's
+    production fit loops)."""
+    import jax
+    from functools import partial
+    from atlasqtl_tpu.models import global_local as gl
+
+    if "fn" not in _SCAN:
+        @partial(jax.jit, static_argnames=("cfg", "k"),
+                 donate_argnames=("state",))
+        def f(data, hyper, state, gram, *, cfg, k):
+            def body(s, _):
+                return gl.cavi_iteration(data, hyper, s, gram, 1.0, 1.0,
+                                         cfg=cfg, annealed=False,
+                                         lite=True), None
+            return jax.lax.scan(body, state, None, length=k)[0]
+        _SCAN["fn"] = f
+    return _SCAN["fn"](data, hyper, state, gram, cfg=cfg, k=k)
+
+
 def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
     """Steady-state lite-iteration timing at (n, p, q); returns
     (ms_per_iter, bytes_per_iter)."""
@@ -91,10 +121,31 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
         _ = float(jnp.sum(state.theta))
         reps.append((time.time() - t0) / iters)
     reps.sort()
-    dt = reps[1]  # median of 3
+    dt_dispatch = reps[1]  # median of 3, per-dispatch mode
     # steady-state sanity: the three windows run the identical compiled
     # step, so spread beyond ~20% means external contamination
     unstable = reps[2] > 1.2 * reps[0]
+
+    # Device-resident measurement (r5): K iterations per dispatch via
+    # lax.scan — the production fit path (inference/device_loop.py) runs
+    # this way, and the r5 hardware profiler trace
+    # (docs/DESIGN.md S3; tools/tpu_profile_job.py + parse_trace.py)
+    # showed the per-dispatch mode above carries ~6 ms/iter of tunnel
+    # overhead the device never sees (kernel busy == span, 23.85 ms/iter
+    # at the eQTL shape vs 29.9 dispatched).  The scan number is the real
+    # steady-state device rate; the dispatch number is kept as a
+    # diagnostic.
+    dev_reps = []
+    state = _scan_iters(data, hyper, state, gram, cfg=cfg, k=iters)
+    _ = float(jnp.sum(state.theta))  # compile + warm
+    for _ in range(3):
+        t0 = time.time()
+        state = _scan_iters(data, hyper, state, gram, cfg=cfg, k=iters)
+        _ = float(jnp.sum(state.theta))
+        dev_reps.append((time.time() - t0) / iters)
+    dev_reps.sort()
+    dt = dev_reps[1]
+    unstable = unstable or dev_reps[2] > 1.2 * dev_reps[0]
 
     # ELBO sanity on a full iteration
     state = gl.cavi_iteration_donated(data, hyper, state, gram, 1.0, 1.0,
@@ -129,8 +180,10 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
            "dma_model_ms": round(t_dma_ms, 1),
            "bound": "vpu" if t_vpu_ms > t_dma_ms else "hbm",
            "sol_frac": round(max(t_vpu_ms, t_dma_ms) / (dt * 1e3), 3)}
-    return dt * 1e3, byt, {"timing_reps_ms": [round(r * 1e3, 2) for r in reps],
-                           "unstable": bool(unstable), "sol": sol}
+    return dt * 1e3, byt, {
+        "timing_reps_ms": [round(r * 1e3, 2) for r in dev_reps],
+        "dispatch_ms_per_iter": round(dt_dispatch * 1e3, 2),
+        "unstable": bool(unstable), "sol": sol}
 
 
 def _truth_metrics(res, p, q):

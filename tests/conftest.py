@@ -13,7 +13,17 @@ if (os.environ.get("PALLAS_AXON_POOL_IPS")
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["_ATLASQTL_TEST_REEXEC"] = "1"
-    _log = os.path.join(os.path.dirname(__file__), "_last_run.log")
+    # unique log per run — concurrent suite invocations used to clobber a
+    # shared _last_run.log; keep the old name as a symlink to the latest
+    _log = os.path.join(os.path.dirname(__file__),
+                        f"_last_run_{os.getpid()}.log")
+    _latest = os.path.join(os.path.dirname(__file__), "_last_run.log")
+    try:
+        if os.path.islink(_latest) or os.path.exists(_latest):
+            os.remove(_latest)
+        os.symlink(os.path.basename(_log), _latest)
+    except OSError:
+        pass
     with open(_log, "wb") as fh:
         rc = subprocess.call([sys.executable, "-m", "pytest"] + sys.argv[1:],
                              env=env, stdout=fh, stderr=subprocess.STDOUT)

@@ -8,6 +8,7 @@ tiles these near roofline, so this is the chip's achievable rate.
 
 Run through the worker: cp tools/tpu_mxu_rate.py /tmp/tpu_jobs/q0_mxu.py
 """
+import functools
 import time
 
 import numpy as np
@@ -23,23 +24,30 @@ def log(msg):
         fh.write(msg + "\n")
 
 
-def bench_dot(m, k, n, dt, reps=20):
+def bench_dot(m, k, n, dt, reps=30):
     a = jnp.asarray(np.random.default_rng(0).normal(size=(m, k)), dt)
     b = jnp.asarray(np.random.default_rng(1).normal(size=(k, n)), dt)
 
-    @jax.jit
-    def f(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # loop INSIDE jit: the first version of this job dispatched one dot per
+    # call and measured pure tunnel latency (~1.4 ms/call) — every shape
+    # "ran" at the same speed.  The scalar feedback defeats CSE and forces
+    # the dots sequential.
+    @functools.partial(jax.jit, static_argnames=("r",))
+    def f(a, b, *, r):
+        def body(_, carry):
+            s, acc = carry
+            out = jnp.dot(a * (1.0 + s), b,
+                          preferred_element_type=jnp.float32)
+            return out[0, 0] * 1e-30, acc + out[0, 0]
+        return jax.lax.fori_loop(0, r, body,
+                                 (jnp.asarray(0.0, jnp.float32),
+                                  jnp.asarray(0.0, jnp.float32)))[1]
 
-    out = f(a, b)
-    out.block_until_ready()
-    _ = float(jnp.sum(out))
+    _ = float(f(a, b, r=2))
     best = np.inf
     for _ in range(3):
         t0 = time.time()
-        for _ in range(reps):
-            out = f(a, b)
-        _ = float(jnp.sum(out))
+        _ = float(f(a, b, r=reps))
         best = min(best, (time.time() - t0) / reps)
     macs = m * k * n
     log(f"dot ({m:5d},{k:5d})@({k:5d},{n:5d}) {str(dt):>16s}: "
