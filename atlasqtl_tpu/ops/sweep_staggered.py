@@ -182,31 +182,51 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
     @pl.when(jnp.logical_not(first))
     def _():
         pm = pmp_ref[0, 0, :]
-        gam_full = jnp.concatenate([gamA_scr[:, :], gam_scr[:, h:qt]],
-                                   axis=1)
-        mu_full = jnp.concatenate([muA_scr[:, :], mu_scr[:, h:qt]], axis=1)
-        msk = pm[:, None] * qm[None, :]
-        t_bm = gam_full * mu_full
-        beta_out_ref[:, :] = t_bm * msk
-        if emit:
-            gam_out_ref[:, :] = gam_full * msk
-            mu_out_ref[:, :] = mu_full * msk
         pm_row = pm.reshape(1, bsz)
         rdot = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=r_scr.dtype)
-        gcol = rdot(pm_row, gam_full)[0] * qm
-        m2gcol = rdot(pm_row, t_bm * mu_full)[0] * qm
-        b2col = rdot(pm_row, t_bm * t_bm)[0] * qm
-        z_raw = jnp.concatenate(
-            [zA_scr[:, :],
-             gam_scr[:, h:qt] * imrd_scr[:, h:qt] + imr0u_scr[:, h:qt]],
-            axis=1)
-        z_qm = z_raw * qm[None, :]
-        zr = jnp.sum(z_qm, axis=1) * pm
-        zc = rdot(pm_row, z_qm)[0]
         bm1 = b - 1
+        # per-half emit (no cross-half concatenates: column-half slices of
+        # the output window and the (q,)-stat vectors are independent)
+        for lo, gam_h, mu_h, z_h in (
+                (0, gamA_scr[:, :], muA_scr[:, :], zA_scr[:, :]),
+                (h, gam_scr[:, h:qt], mu_scr[:, h:qt],
+                 gam_scr[:, h:qt] * imrd_scr[:, h:qt]
+                 + imr0u_scr[:, h:qt])):
+            qm_h = qm[lo:lo + h]
+            msk = pm[:, None] * qm_h[None, :]
+            t_bm = gam_h * mu_h
+            beta_out_ref[:, lo:lo + h] = t_bm * msk
+            if emit:
+                gam_out_ref[:, lo:lo + h] = gam_h * msk
+                mu_out_ref[:, lo:lo + h] = mu_h * msk
+            gcol = rdot(pm_row, gam_h)[0] * qm_h
+            m2gcol = rdot(pm_row, t_bm * mu_h)[0] * qm_h
+            b2col = rdot(pm_row, t_bm * t_bm)[0] * qm_h
+            z_qm = z_h * qm_h[None, :]
+            zc = rdot(pm_row, z_qm)[0]
+
+            @pl.when(bm1 == 0)
+            def _(lo=lo, gcol=gcol, m2gcol=m2gcol, b2col=b2col, zc=zc):
+                gcol_ref[0, lo:lo + h] = gcol
+                m2gcol_ref[0, lo:lo + h] = m2gcol
+                b2col_ref[0, lo:lo + h] = b2col
+                zcol_ref[0, lo:lo + h] = zc
+
+            @pl.when(bm1 != 0)
+            def _(lo=lo, gcol=gcol, m2gcol=m2gcol, b2col=b2col, zc=zc):
+                gcol_ref[0, lo:lo + h] = gcol_ref[0, lo:lo + h] + gcol
+                m2gcol_ref[0, lo:lo + h] = (m2gcol_ref[0, lo:lo + h]
+                                            + m2gcol)
+                b2col_ref[0, lo:lo + h] = b2col_ref[0, lo:lo + h] + b2col
+                zcol_ref[0, lo:lo + h] = zcol_ref[0, lo:lo + h] + zc
+
+        zr = (jnp.sum(zA_scr[:, :] * qm[None, 0:h], axis=1)
+              + jnp.sum((gam_scr[:, h:qt] * imrd_scr[:, h:qt]
+                         + imr0u_scr[:, h:qt]) * qm[None, h:qt],
+                        axis=1)) * pm
 
         @pl.when(t == 0)
         def _():
@@ -216,20 +236,6 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
         def _():
             zrow_scr[0, pl.ds(bm1 * bsz, bsz)] = (
                 zrow_scr[0, pl.ds(bm1 * bsz, bsz)] + zr)
-
-        @pl.when(bm1 == 0)
-        def _():
-            gcol_ref[0, :] = gcol
-            m2gcol_ref[0, :] = m2gcol
-            b2col_ref[0, :] = b2col
-            zcol_ref[0, :] = zc
-
-        @pl.when(bm1 != 0)
-        def _():
-            gcol_ref[0, :] = gcol_ref[0, :] + gcol
-            m2gcol_ref[0, :] = m2gcol_ref[0, :] + m2gcol
-            b2col_ref[0, :] = b2col_ref[0, :] + b2col
-            zcol_ref[0, :] = zcol_ref[0, :] + zc
 
     # (5) chain_A(b)  [VPU]
     @pl.when(jnp.logical_not(last))

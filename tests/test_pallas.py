@@ -406,13 +406,17 @@ def test_staggered_bitwise_equals_fused(c_anneal, emit):
                              consts, 128, **kw)
     b = sweep_complete_staggered(data.x, data.cp_x_y, gram, beta0,
                                  state.fitted, consts, 128, **kw)
-    names = ["beta", "gam", "mu", "fitted", "z_row", "z_col"]
-    for i, nm in enumerate(names):
+    for i, nm in ((0, "beta"), (1, "gam"), (2, "mu"), (3, "fitted"),
+                  (5, "z_col")):
         if a[i] is None:
             assert b[i] is None
             continue
         np.testing.assert_array_equal(np.asarray(b[i]), np.asarray(a[i]),
                                       err_msg=nm)
+    # z_row sums the tile per-half then adds (different f32 tree order
+    # than the baseline's full-row sum)
+    np.testing.assert_allclose(np.asarray(b[4]), np.asarray(a[4]),
+                               rtol=1e-4, atol=1e-4, err_msg="z_row")
     # the fused column statistics ride in-kernel reduction dots whose f32
     # summation order is backend/fusion-context dependent (both kernels
     # drift ~1e-6 relative from a naive recompute, equally) — allclose,
