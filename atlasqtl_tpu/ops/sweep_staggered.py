@@ -90,7 +90,9 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
 
     def probit_half(theta_blk, l_blk, lo):
         """ad/imrd/imr0u half-tiles — same math as the baseline kernel."""
-        u = theta_blk[:, None] + zeta[None, lo:lo + h]
+        # slice-then-newaxis: the combined zeta[None, lo:lo+h] form lowers
+        # as a rank-3 gather, which Mosaic rejects
+        u = theta_blk[:, None] + zeta[lo:lo + h][None, :]
         u2 = u * u
         s_d = jnp.sqrt(u2 + K_BASE)
         hu = 0.5 * u
@@ -223,9 +225,11 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
                 b2col_ref[0, lo:lo + h] = b2col_ref[0, lo:lo + h] + b2col
                 zcol_ref[0, lo:lo + h] = zcol_ref[0, lo:lo + h] + zc
 
-        zr = (jnp.sum(zA_scr[:, :] * qm[None, 0:h], axis=1)
+        qm_a = qm[0:h]
+        qm_b = qm[h:qt]
+        zr = (jnp.sum(zA_scr[:, :] * qm_a[None, :], axis=1)
               + jnp.sum((gam_scr[:, h:qt] * imrd_scr[:, h:qt]
-                         + imr0u_scr[:, h:qt]) * qm[None, h:qt],
+                         + imr0u_scr[:, h:qt]) * qm_b[None, :],
                         axis=1)) * pm
 
         @pl.when(t == 0)

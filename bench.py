@@ -176,10 +176,20 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
     ops_per_cell = 31 + gl._fused_sub(n_pad, cfg)
     t_vpu_ms = cells * ops_per_cell / (8 * 128 * 0.94e9) * 1e3
     t_dma_ms = byt / 819e9 * 1e3
+    # MXU term (r5): the two deep contractions (r0 = x^T F and the F
+    # advance) need 2*n*p*q MACs per iteration; this chip's measured
+    # achievable matmul rate is 78 T MACs/s — IDENTICAL for f32 and bf16
+    # (tools/tpu_mxu_rate.py, in-jit loop: square 4096^3 f32 77.8 /
+    # bf16 75.8 T MACs/s — which is why mxu_bf16 never helped).  At the
+    # pod shape this term (39 ms) dominates and the r5 probe campaign
+    # confirms it: removing both dots saves 37 ms.
+    t_mxu_ms = 2.0 * n_pad * p_pad * q_pad / 78e12 * 1e3
+    bound = max((t_vpu_ms, "vpu"), (t_dma_ms, "hbm"), (t_mxu_ms, "mxu"))
     sol = {"vpu_model_ms": round(t_vpu_ms, 1),
            "dma_model_ms": round(t_dma_ms, 1),
-           "bound": "vpu" if t_vpu_ms > t_dma_ms else "hbm",
-           "sol_frac": round(max(t_vpu_ms, t_dma_ms) / (dt * 1e3), 3)}
+           "mxu_model_ms": round(t_mxu_ms, 1),
+           "bound": bound[1],
+           "sol_frac": round(bound[0] / (dt * 1e3), 3)}
     return dt * 1e3, byt, {
         "timing_reps_ms": [round(r * 1e3, 2) for r in dev_reps],
         "dispatch_ms_per_iter": round(dt_dispatch * 1e3, 2),
