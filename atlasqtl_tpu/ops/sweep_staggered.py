@@ -145,23 +145,22 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
                         rblk = (rblk + g_blk[lo:lo + sub, row][:, None]
                                 * delta_i[None, :])
 
-    # (1) advance_A(b-1)  [MXU]
-    @pl.when(jnp.logical_not(first))
-    def _():
+    # ---- the six ops as closures, so each boundary region instantiates
+    # its straight-line subset.  The first measurement of this kernel put
+    # every op in its OWN pl.when region — separate cond basic blocks the
+    # scheduler cannot interleave across — and measured SLOWER than the
+    # baseline (pod 70.3 vs 57.5); steady state must be ONE region.
+    def op1_advance_A():
         f_scr[:, 0:h] = f_scr[:, 0:h] + jax.lax.dot_general(
             xp_ref[:, :], delta_scr[:, 0:h],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f_scr.dtype)
 
-    # (2) chain_B(b-1)  [VPU] (+ its probit half-tiles, block b-1)
-    @pl.when(jnp.logical_not(first))
-    def _():
+    def op2_chain_B():
         probit_half(thetap_ref[0, 0, :], lp_ref[:, :], h)
         chain_half(h, gp_ref, cpp_ref, betap_ref)
 
-    # (3) r0_A(b)  [MXU] (+ probit half-tiles for block b, half A)
-    @pl.when(jnp.logical_not(last))
-    def _():
+    def op3_r0_A():
         probit_half(theta_ref[0, 0, :], l_ref[:, :], 0)
         r0 = jax.lax.dot_general(
             x_ref[:, :], f_scr[:, 0:h],
@@ -169,20 +168,30 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
             preferred_element_type=r_scr.dtype)
         r_scr[:, 0:h] = r0 - beta_ref[:, 0:h] * d_diag
 
-    # (4) advance_B(b-1)  [MXU]
-    @pl.when(jnp.logical_not(first))
-    def _():
+    def op4_advance_B():
         f_scr[:, h:qt] = f_scr[:, h:qt] + jax.lax.dot_general(
             xp_ref[:, :], delta_scr[:, h:qt],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f_scr.dtype)
 
-    # ---- emit block b-1 (A half from the one-step buffers, B fresh) ----
-    # Placed between (4) and (5): uses chain_B(b-1)'s gam/mu (op 2) and
-    # the buffered A half; independent of (5)/(6), so it can also overlap
-    # the MXU tail.
-    @pl.when(jnp.logical_not(first))
-    def _():
+    def op5_chain_A():
+        chain_half(0, g_ref, cp_ref, beta_ref)
+
+    def op6_r0_B():
+        r0 = jax.lax.dot_general(
+            x_ref[:, :], f_scr[:, h:qt],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=r_scr.dtype)
+        r_scr[:, h:qt] = r0 - beta_ref[:, h:qt] * d_diag
+
+    def buffer_A():
+        gamA_scr[:, :] = gam_scr[:, 0:h]
+        muA_scr[:, :] = mu_scr[:, 0:h]
+        zA_scr[:, :] = (gam_scr[:, 0:h] * imrd_scr[:, 0:h]
+                        + imr0u_scr[:, 0:h])
+
+    def emit_bm1():
+        # emit block b-1 (A half from the one-step buffers, B fresh)
         pm = pmp_ref[0, 0, :]
         pm_row = pm.reshape(1, bsz)
         rdot = functools.partial(
@@ -241,27 +250,32 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
             zrow_scr[0, pl.ds(bm1 * bsz, bsz)] = (
                 zrow_scr[0, pl.ds(bm1 * bsz, bsz)] + zr)
 
-    # (5) chain_A(b)  [VPU]
-    @pl.when(jnp.logical_not(last))
+    # ---- three regions: steady state is ONE straight-line block so the
+    # VLIW scheduler can run each chain beside the other half's dots ----
+    @pl.when(jnp.logical_and(jnp.logical_not(first), jnp.logical_not(last)))
     def _():
-        chain_half(0, g_ref, cp_ref, beta_ref)
+        op1_advance_A()
+        op2_chain_B()
+        op3_r0_A()
+        op4_advance_B()
+        emit_bm1()
+        op5_chain_A()
+        op6_r0_B()
+        buffer_A()
 
-    # (6) r0_B(b)  [MXU]
-    @pl.when(jnp.logical_not(last))
+    @pl.when(first)
     def _():
-        r0 = jax.lax.dot_general(
-            x_ref[:, :], f_scr[:, h:qt],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=r_scr.dtype)
-        r_scr[:, h:qt] = r0 - beta_ref[:, h:qt] * d_diag
+        op3_r0_A()
+        op5_chain_A()
+        op6_r0_B()
+        buffer_A()
 
-    # ---- buffer this step's A-half results for next step's emit ----
-    @pl.when(jnp.logical_not(last))
+    @pl.when(last)
     def _():
-        gamA_scr[:, :] = gam_scr[:, 0:h]
-        muA_scr[:, :] = mu_scr[:, 0:h]
-        zA_scr[:, :] = (gam_scr[:, 0:h] * imrd_scr[:, 0:h]
-                        + imr0u_scr[:, 0:h])
+        op1_advance_A()
+        op2_chain_B()
+        op4_advance_B()
+        emit_bm1()
 
     # ---- write-backs at the boundaries ----
     @pl.when(last)
