@@ -2,32 +2,37 @@
 
 The r5 pod-shape probe campaign (docs/DESIGN.md §3, tools/tpu_probe_pod.py)
 showed the fused kernel at deep n is bound by the SERIAL dependency
-r0 -> chain -> advance: the two big MXU contractions expose ~35 ms/iter and
+r0 -> chain -> advance: the two big MXU contractions cost ~37 ms/iter and
 the sequential chain ~14 ms, yet with the dots removed the chain costs only
 ~2 ms over a Jacobi pass — MXU and VPU idle waiting on each other, and the
 one-block-lookahead attempt to overlap them across grid steps serialized
 Mosaic's pipeline instead (r4 dead end).
 
-This kernel overlaps them WITHIN a grid step, which the in-order VLIW
-scheduler can exploit (an issued matmul occupies the MXU asynchronously
-while VPU instructions keep issuing): the q-tile is split into independent
-column halves A and B, with B lagging half a step.  Per grid step b
-(steady state):
+This kernel overlaps them WITHIN a grid step: the q-tile is split into
+independent column halves A and B, with B lagging half a step.  Per grid
+step b (steady state):
 
-    (1) advance_A(b-1)  [MXU]  \
-    (2) chain_B(b-1)    [VPU]   } (2) dependency-free of (1)+(3)
-    (3) r0_A(b)         [MXU]  /
-    (4) advance_B(b-1)  [MXU]  \
-    (5) chain_A(b)      [VPU]   } (5) dependency-free of (4)+(6)
-    (6) r0_B(b)         [MXU]  /
+    R1: advance_A(b-1) [MXU]  ||  chain_B(b-1)        [VPU]
+    R2: r0_A(b)        [MXU]  (+ its probit half-tiles)
+    R3: advance_B(b-1) [MXU]  ||  chain_A(b)          [VPU]
+    R4: r0_B(b)        [MXU]  ||  emit(b-1) + buffer  [VPU]
 
-Every operand is ready when issued: (1) needs chain_A(b-1) [prev step (5)],
-(2) needs r0_B(b-1) [prev (6)], (3) needs (1), (4) needs (2), (5) needs
-(3), (6) needs (4).  All per-column op sequences are IDENTICAL to the
-baseline kernel (ops/sweep_fused.py) — the result is bitwise equal per
-column (pinned by tests/test_pallas.py).  Block b-1's outputs complete at
-step b (the A half's gam/mu/Z are buffered one step in VMEM scratch), so
-output index maps shift by one block and the grid gains one drain step.
+Every operand is ready when issued: advance_A needs chain_A(b-1) [prev
+R3], chain_B needs r0_B(b-1) [prev R4], r0_A needs advance_A, advance_B
+needs chain_B, chain_A needs r0_A, r0_B needs advance_B.  Each region
+pairs at most one large dot with dependency-free VPU work, and EVERY
+per-half scratch buffer is a physically separate ref (r_A/r_B, delta_A/
+delta_B, ...) so the pairing carries no false memory dependencies — the
+first two revisions of this kernel measured SLOWER than baseline because
+(rev 1) each op sat in its own cond region the scheduler cannot
+interleave across, and (rev 2) one giant region blew the register
+allocator; both also shared sliced scratch between the halves.
+
+All per-column op sequences are IDENTICAL to the baseline kernel
+(ops/sweep_fused.py) — outputs bitwise equal per column (pinned by
+tests/test_pallas.py).  Block b-1's outputs complete at step b (the A
+half's gam/mu/Z are buffered one step), so output index maps shift by one
+block and the grid gains one drain step.
 
 Reference for the math: src/coreLoop.cpp:38-86 (same flat k-major
 Gauss-Seidel as the baseline kernel).
@@ -51,17 +56,18 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
                  # outputs (windows at block b-1)
                  beta_out_ref, gam_out_ref, mu_out_ref, f_out_ref,
                  zrow_ref, zcol_ref, gcol_ref, m2gcol_ref, b2col_ref,
-                 # scratch
-                 f_scr, r_scr, delta_scr, gam_scr, mu_scr, zrow_scr,
-                 ad_scr, imrd_scr, imr0u_scr,
-                 gamA_scr, muA_scr, zA_scr, dma_sem,
+                 # scratch (per-half refs are physically separate)
+                 f_scr,
+                 rA, dA, gA, mA, adA, imA, i0A,
+                 rB, dB, gB, mB, adB, imB, i0B,
+                 gamAb, muAb, zAb, zrow_scr, dma_sem,
                  *, nb: int, qtiles: int, sub: int, qchunk: int,
                  emit: bool, c_one: bool):
     t = pl.program_id(0)
     b = pl.program_id(1)          # 0 .. nb inclusive (one drain step)
-    qt = r_scr.shape[1]
-    h = qt // 2
-    bsz = r_scr.shape[0]
+    h = rA.shape[1]
+    qt = 2 * h
+    bsz = rA.shape[0]
 
     c = scal_ref[0]
     d_diag = scal_ref[1]
@@ -86,9 +92,9 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
     ldot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=r_scr.dtype)
+        preferred_element_type=rA.dtype)
 
-    def probit_half(theta_blk, l_blk, lo):
+    def probit_half(theta_blk, l_blk, lo, ad_x, im_x, i0_x):
         """ad/imrd/imr0u half-tiles — same math as the baseline kernel."""
         # slice-then-newaxis: the combined zeta[None, lo:lo+h] form lowers
         # as a rank-3 gather, which Mosaic rejects
@@ -96,99 +102,97 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
         u2 = u * u
         s_d = jnp.sqrt(u2 + K_BASE)
         hu = 0.5 * u
-        nA = n_ref[0][:, lo:lo + h]
-        nB = n_ref[1][:, lo:lo + h]
-        nC = n_ref[2][:, lo:lo + h]
+        nA_ = n_ref[0][:, lo:lo + h]
+        nB_ = n_ref[1][:, lo:lo + h]
+        nC_ = n_ref[2][:, lo:lo + h]
         if c_one:
-            ad_scr[:, lo:lo + h] = hu * s_d + ldot(l_blk, nA)
-            imrd_scr[:, lo:lo + h] = s_d + ldot(l_blk, nB)
-            imr0u_scr[:, lo:lo + h] = ldot(l_blk, nC) - 0.5 * s_d - hu
+            ad_x[:, :] = hu * s_d + ldot(l_blk, nA_)
+            im_x[:, :] = s_d + ldot(l_blk, nB_)
+            i0_x[:, :] = ldot(l_blk, nC_) - 0.5 * s_d - hu
         else:
-            ad_scr[:, lo:lo + h] = c * (hu * s_d) + ldot(l_blk, nA)
+            ad_x[:, :] = c * (hu * s_d) + ldot(l_blk, nA_)
             s_z = jnp.sqrt(u2 + kz)
-            imrd_scr[:, lo:lo + h] = s_z + ldot(l_blk, nB)
-            imr0u_scr[:, lo:lo + h] = ldot(l_blk, nC) - 0.5 * s_z - hu
+            im_x[:, :] = s_z + ldot(l_blk, nB_)
+            i0_x[:, :] = ldot(l_blk, nC_) - 0.5 * s_z - hu
 
-    def chain_half(lo_col, g_blk, cp_blk, beta_blk):
-        """Sequential Gauss-Seidel on columns [lo_col, lo_col+h) of one
-        block — identical per-column op order to the baseline kernel
+    def chain_half(g_blk, cp_blk, beta_blk, lo_col, r_x, d_x, g_x, m_x,
+                   ad_x):
+        """Sequential Gauss-Seidel on one half's own scratch refs —
+        identical per-column op order to the baseline kernel
         (register-carried windows; the full-window push FMA's rows <= i
         are dead, live rows get the same adds in the same order)."""
         qch = min(qchunk, h)
         nqc = h // qch
+        ct_h = ct_full[lo_col:lo_col + h]
+        k_h = k_full[lo_col:lo_col + h]
         for s in range(bsz // sub):
             lo = s * sub
             if lo > 0:
                 corr = jax.lax.dot_general(
-                    g_blk[lo:lo + sub, 0:lo],
-                    delta_scr[0:lo, lo_col:lo_col + h],
+                    g_blk[lo:lo + sub, 0:lo], d_x[0:lo, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=r_scr.dtype)
-                r_scr[lo:lo + sub, lo_col:lo_col + h] = (
-                    r_scr[lo:lo + sub, lo_col:lo_col + h] + corr)
+                    preferred_element_type=r_x.dtype)
+                r_x[lo:lo + sub, :] = r_x[lo:lo + sub, :] + corr
             for qc in range(nqc):
-                ql = lo_col + qc * qch
-                ct_c = ct_full[ql:ql + qch]
-                k_c = k_full[ql:ql + qch]
-                rblk = r_scr[lo:lo + sub, ql:ql + qch]
+                ql = qc * qch
+                ct_c = ct_h[ql:ql + qch]
+                k_c = k_h[ql:ql + qch]
+                rblk = r_x[lo:lo + sub, ql:ql + qch]
                 for i in range(sub):
                     row = lo + i
-                    mu_new = ct_c * (cp_blk[row, ql:ql + qch] - rblk[i])
-                    logit = (ad_scr[row, ql:ql + qch]
-                             + mu_new * mu_new * k_c)
+                    mu_new = ct_c * (cp_blk[row, lo_col + ql:
+                                            lo_col + ql + qch] - rblk[i])
+                    logit = ad_x[row, ql:ql + qch] + mu_new * mu_new * k_c
                     gam_new = jax.nn.sigmoid(logit)
-                    delta_i = gam_new * mu_new - beta_blk[row, ql:ql + qch]
-                    delta_scr[row, ql:ql + qch] = delta_i
-                    gam_scr[row, ql:ql + qch] = gam_new
-                    mu_scr[row, ql:ql + qch] = mu_new
+                    delta_i = gam_new * mu_new - beta_blk[
+                        row, lo_col + ql:lo_col + ql + qch]
+                    d_x[row, ql:ql + qch] = delta_i
+                    g_x[row, ql:ql + qch] = gam_new
+                    m_x[row, ql:ql + qch] = mu_new
                     if i < sub - 1:
                         rblk = (rblk + g_blk[lo:lo + sub, row][:, None]
                                 * delta_i[None, :])
 
-    # ---- the six ops as closures, so each boundary region instantiates
-    # its straight-line subset.  The first measurement of this kernel put
-    # every op in its OWN pl.when region — separate cond basic blocks the
-    # scheduler cannot interleave across — and measured SLOWER than the
-    # baseline (pod 70.3 vs 57.5); steady state must be ONE region.
+    # ---- the schedule's ops as closures; boundary regions instantiate
+    # their straight-line subsets ----
     def op1_advance_A():
         f_scr[:, 0:h] = f_scr[:, 0:h] + jax.lax.dot_general(
-            xp_ref[:, :], delta_scr[:, 0:h],
+            xp_ref[:, :], dA[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f_scr.dtype)
 
     def op2_chain_B():
-        probit_half(thetap_ref[0, 0, :], lp_ref[:, :], h)
-        chain_half(h, gp_ref, cpp_ref, betap_ref)
+        probit_half(thetap_ref[0, 0, :], lp_ref[:, :], h, adB, imB, i0B)
+        chain_half(gp_ref, cpp_ref, betap_ref, h, rB, dB, gB, mB, adB)
 
     def op3_r0_A():
-        probit_half(theta_ref[0, 0, :], l_ref[:, :], 0)
+        probit_half(theta_ref[0, 0, :], l_ref[:, :], 0, adA, imA, i0A)
         r0 = jax.lax.dot_general(
             x_ref[:, :], f_scr[:, 0:h],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=r_scr.dtype)
-        r_scr[:, 0:h] = r0 - beta_ref[:, 0:h] * d_diag
+            preferred_element_type=rA.dtype)
+        rA[:, :] = r0 - beta_ref[:, 0:h] * d_diag
 
     def op4_advance_B():
         f_scr[:, h:qt] = f_scr[:, h:qt] + jax.lax.dot_general(
-            xp_ref[:, :], delta_scr[:, h:qt],
+            xp_ref[:, :], dB[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f_scr.dtype)
 
     def op5_chain_A():
-        chain_half(0, g_ref, cp_ref, beta_ref)
+        chain_half(g_ref, cp_ref, beta_ref, 0, rA, dA, gA, mA, adA)
 
     def op6_r0_B():
         r0 = jax.lax.dot_general(
             x_ref[:, :], f_scr[:, h:qt],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=r_scr.dtype)
-        r_scr[:, h:qt] = r0 - beta_ref[:, h:qt] * d_diag
+            preferred_element_type=rB.dtype)
+        rB[:, :] = r0 - beta_ref[:, h:qt] * d_diag
 
     def buffer_A():
-        gamA_scr[:, :] = gam_scr[:, 0:h]
-        muA_scr[:, :] = mu_scr[:, 0:h]
-        zA_scr[:, :] = (gam_scr[:, 0:h] * imrd_scr[:, 0:h]
-                        + imr0u_scr[:, 0:h])
+        gamAb[:, :] = gA[:, :]
+        muAb[:, :] = mA[:, :]
+        zAb[:, :] = gA[:, :] * imA[:, :] + i0A[:, :]
 
     def emit_bm1():
         # emit block b-1 (A half from the one-step buffers, B fresh)
@@ -197,15 +201,12 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
         rdot = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=r_scr.dtype)
+            preferred_element_type=rA.dtype)
         bm1 = b - 1
-        # per-half emit (no cross-half concatenates: column-half slices of
-        # the output window and the (q,)-stat vectors are independent)
         for lo, gam_h, mu_h, z_h in (
-                (0, gamA_scr[:, :], muA_scr[:, :], zA_scr[:, :]),
-                (h, gam_scr[:, h:qt], mu_scr[:, h:qt],
-                 gam_scr[:, h:qt] * imrd_scr[:, h:qt]
-                 + imr0u_scr[:, h:qt])):
+                (0, gamAb[:, :], muAb[:, :], zAb[:, :]),
+                (h, gB[:, :], mB[:, :],
+                 gB[:, :] * imB[:, :] + i0B[:, :])):
             qm_h = qm[lo:lo + h]
             msk = pm[:, None] * qm_h[None, :]
             t_bm = gam_h * mu_h
@@ -236,10 +237,9 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
 
         qm_a = qm[0:h]
         qm_b = qm[h:qt]
-        zr = (jnp.sum(zA_scr[:, :] * qm_a[None, :], axis=1)
-              + jnp.sum((gam_scr[:, h:qt] * imrd_scr[:, h:qt]
-                         + imr0u_scr[:, h:qt]) * qm_b[None, :],
-                        axis=1)) * pm
+        zr = (jnp.sum(zAb[:, :] * qm_a[None, :], axis=1)
+              + jnp.sum((gB[:, :] * imB[:, :] + i0B[:, :])
+                        * qm_b[None, :], axis=1)) * pm
 
         @pl.when(t == 0)
         def _():
@@ -250,23 +250,38 @@ def _stag_kernel(scal_ref, x_ref, xp_ref, g_ref, gp_ref, l_ref, lp_ref,
             zrow_scr[0, pl.ds(bm1 * bsz, bsz)] = (
                 zrow_scr[0, pl.ds(bm1 * bsz, bsz)] + zr)
 
-    # ---- three regions: steady state is ONE straight-line block so the
-    # VLIW scheduler can run each chain beside the other half's dots ----
-    @pl.when(jnp.logical_and(jnp.logical_not(first), jnp.logical_not(last)))
+    # ---- regions: each pairs at most one large dot with independent VPU
+    # work; per-half refs are disjoint so the pairing has no false deps ----
+    steady = jnp.logical_and(jnp.logical_not(first), jnp.logical_not(last))
+
+    @pl.when(steady)
     def _():
         op1_advance_A()
         op2_chain_B()
+
+    @pl.when(jnp.logical_not(last))
+    def _():
         op3_r0_A()
+
+    @pl.when(steady)
+    def _():
         op4_advance_B()
-        emit_bm1()
         op5_chain_A()
+
+    @pl.when(first)
+    def _():
+        op5_chain_A()
+
+    # emit must precede buffer_A: it reads the PREVIOUS step's A buffers,
+    # which buffer_A overwrites with this step's chain_A results
+    @pl.when(steady)
+    def _():
         op6_r0_B()
+        emit_bm1()
         buffer_A()
 
     @pl.when(first)
     def _():
-        op3_r0_A()
-        op5_chain_A()
         op6_r0_B()
         buffer_A()
 
@@ -376,20 +391,12 @@ def sweep_fused_staggered(x, cp_x_y, gram_flat, l_aug, n_stack, beta, fitted,
                 sig2_beta[None, :], tau[None, :], zeta[None, :],
                 theta8, theta8, pm8, pm8, q_mask[None, :], fitted]
     half = q_tile // 2
-    scratch = [
-        pltpu.VMEM((n, q_tile), dt),            # F tile
-        pltpu.VMEM((block_size, q_tile), dt),   # residual projections
-        pltpu.VMEM((block_size, q_tile), dt),   # delta
-        pltpu.VMEM((block_size, q_tile), dt),   # gam values
-        pltpu.VMEM((block_size, q_tile), dt),   # mu values
-        pltpu.VMEM((1, p), dt),                 # z_row accumulator
-        pltpu.VMEM((block_size, q_tile), dt),   # ad tile
-        pltpu.VMEM((block_size, q_tile), dt),   # imrd tile
-        pltpu.VMEM((block_size, q_tile), dt),   # imr0u tile
-        pltpu.VMEM((block_size, half), dt),     # gam A buffer
-        pltpu.VMEM((block_size, half), dt),     # mu A buffer
-        pltpu.VMEM((block_size, half), dt),     # z A buffer
-    ]
+    hbuf = lambda: pltpu.VMEM((block_size, half), dt)
+    scratch = ([pltpu.VMEM((n, q_tile), dt)]          # F tile
+               + [hbuf() for _ in range(7)]           # A: r,d,g,m,ad,im,i0
+               + [hbuf() for _ in range(7)]           # B: r,d,g,m,ad,im,i0
+               + [hbuf() for _ in range(3)]           # gamAb, muAb, zAb
+               + [pltpu.VMEM((1, p), dt)])            # z_row accumulator
 
     out = pl.pallas_call(
         functools.partial(_stag_kernel, nb=nb, qtiles=qtiles, sub=sub,
@@ -438,8 +445,6 @@ def sweep_complete_staggered(x, cp_x_y, gram_blocks, beta, fitted,
                              emit_gam_mu: bool = True,
                              annealed: bool = False):
     """Driver-facing wrapper matching sweep_complete_fused."""
-    import numpy as np
-
     n, p = x.shape
     q = beta.shape[1]
     nb = p // block_size
