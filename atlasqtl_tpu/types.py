@@ -186,8 +186,10 @@ class Config:
     sweep_stagger: bool = False  # staggered dual-half fused sweep
     # (ops/sweep_staggered.py): overlap the MXU dots with the sequential
     # chain by processing two independent q-tile column halves half a
-    # step apart — the r5 fix for the deep-n serial r0->chain->advance
-    # dependency (pod probe campaign, docs/DESIGN.md §3)
+    # step apart.  MEASURED DEAD END (r5, three scheduling revisions all
+    # slower — Mosaic does not co-schedule a dot beside an independent
+    # VPU stream; docs/DESIGN.md §3).  Kept as the documented negative
+    # result; outputs bitwise-equal to the baseline kernel by test.
     sweep_interleave: bool = False  # interleave the independent q-chunk
     # chains per coordinate (chunk-INNER loop order): same per-column op
     # sequence (bitwise identical), but Mosaic's scheduler gets nqc

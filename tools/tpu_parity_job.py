@@ -87,7 +87,7 @@ q_tile = gl._fused_q_tile(data.x.shape[0], q_pad)
 b_f, g_f, m_f, f_f, zr_f, zc_f, _ = sweep_complete_fused(
     data.x, data.cp_x_y, gram, state.gam * state.mu_beta, state.fitted,
     consts, cfg.block_size, p_mask=data.p_mask, q_mask=data.q_mask,
-    q_tile=q_tile, sub=cfg.sweep_sub,
+    q_tile=q_tile, sub=gl._fused_sub(data.x.shape[0], cfg),
     qchunk=cfg.sweep_qchunk or gl._fused_qchunk(q_tile))
 
 msk = (np.asarray(data.p_mask)[:, None] * np.asarray(data.q_mask)[None, :])
