@@ -244,8 +244,11 @@ def fit_global_local(data: Data, hyper: Hyper, state: VBState, cfg: Config,
                 log.info("Iteration %d: ELBO = %.6f", it_e, lb_e)
         # non-finite ELBO raises on BOTH paths regardless of cfg.debug —
         # the host loop raises unconditionally (below), and a NaN fit must
-        # never be returned as a mere non-converged result
-        if not math.isfinite(lb_new):
+        # never be returned as a mere non-converged result.  nev == 0 means
+        # NO evaluation ever ran (maxit exhausted by the annealing ladder,
+        # e.g. a maxit=3 compile warm-up): lb is then the -inf sentinel,
+        # not a numerical failure — return non-converged instead of raising
+        if nev > 0 and not math.isfinite(lb_new):
             it_bad, lb_bad = it, lb_new
             for k in range(nev):
                 if not math.isfinite(lbs_h[k]):

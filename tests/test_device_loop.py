@@ -105,3 +105,14 @@ def test_device_loop_elbo_buf_overflow_warns(fixture_small, monkeypatch,
     assert any("ELBO trace truncated" in r.getMessage()
                for r in caplog.records)
     assert len(dev.elbo_history) <= 4
+
+
+def test_maxit_exhausted_by_ladder_returns_nonconverged(fixture_small):
+    """maxit smaller than the annealing ladder: no ELBO evaluation ever
+    runs, lb stays the -inf sentinel — the fit must return non-converged,
+    NOT raise the non-finite guard (r5 bench warm-up regression)."""
+    y, x, _ = fixture_small
+    for dl in ("on", "off"):
+        res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
+                          user_seed=123, maxit=3, device_loop=dl)
+        assert not res.converged
