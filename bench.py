@@ -322,7 +322,7 @@ def main():
         "value": round(1e3 / ms, 4),
         "unit": "iterations/s",
         "vs_baseline": diag["sol"]["sol_frac"],
-        "vs_baseline_semantics": "fraction of binding-resource (VPU/HBM) "
+        "vs_baseline_semantics": "fraction of binding-resource (VPU/HBM/MXU) "
                                  "speed of light, probe-validated",
         "hbm_roofline_frac": round(roofline, 3),
         "hbm_gbps": round(hbm_gbps, 1),
