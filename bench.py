@@ -84,7 +84,8 @@ def _scan_iters(data, hyper, state, gram, *, cfg, k):
     return _SCAN["fn"](data, hyper, state, gram, cfg=cfg, k=k)
 
 
-def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
+def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False,
+                dev_k=50):
     """Steady-state lite-iteration timing at (n, p, q); returns
     (ms_per_iter, bytes_per_iter)."""
     import jax
@@ -139,7 +140,6 @@ def _iter_bench(n, p, q, iters=5, missing_frac=0.0, exact_missing=False):
     # ms/iter (measured r5: k=5 -> 29.6, k=25 -> 25.2, k=50 -> 24.7
     # ms/iter at the eQTL shape, converging on the 24.1 ms trace-witnessed
     # device time)
-    dev_k = 50
     dev_reps = []
     state = _scan_iters(data, hyper, state, gram, cfg=cfg, k=dev_k)
     _ = float(jnp.sum(state.theta))  # compile + warm
@@ -288,7 +288,8 @@ def main():
             except Exception as e:  # noqa: BLE001 — report, don't die
                 configs[key] = {"error": f"{type(e).__name__}: {e}"}
         try:
-            ms_m, _, dg = _iter_bench(n, p, q, iters=iters, missing_frac=0.15)
+            ms_m, _, dg = _iter_bench(n, p, q, iters=iters, missing_frac=0.15,
+                                      dev_k=25)
             configs["eqtl_missing"] = {"ms_per_iter": round(ms_m, 2),
                                        "vs_complete": round(ms_m / ms, 2),
                                        **dg}
@@ -297,7 +298,7 @@ def main():
         try:
             # exact-missing engine (fused masked-F kernel), same shape
             ms_x, _, dg = _iter_bench(n, p, q, iters=3, missing_frac=0.15,
-                                      exact_missing=True)
+                                      exact_missing=True, dev_k=25)
             configs["eqtl_missing_exact"] = {
                 "ms_per_iter": round(ms_x, 2),
                 "vs_complete": round(ms_x / ms, 2), **dg}
@@ -306,7 +307,8 @@ def main():
                 "error": f"{type(e).__name__}: {e}"}
         for attempt in (0, 1):  # one retry: the axon tunnel drops
             try:                # long-lived connections transiently
-                ms_5, byt_5, dg = _iter_bench(5000, 300_000, 1024, iters=3)
+                ms_5, byt_5, dg = _iter_bench(5000, 300_000, 1024, iters=3,
+                                              dev_k=25)
                 configs["pod_slice"] = {
                     "n": 5000, "p": 300_000, "q": 1024,
                     "ms_per_iter": round(ms_5, 2),
