@@ -39,9 +39,23 @@ def _mp_env(n_dev):
 
 
 def _run_pair(tmp_path, mesh_kind):
+    # two attempts with fresh ports: the ephemeral-port grab between
+    # _free_port() and jax.distributed's bind is racy, and a loaded host
+    # can push the first attempt past its timeout (observed as a flaky
+    # suite failure under a concurrent TPU bench)
+    last_err = None
+    for attempt in range(2):
+        try:
+            return _run_pair_once(tmp_path, mesh_kind, attempt)
+        except (AssertionError, subprocess.TimeoutExpired) as e:
+            last_err = e
+    raise last_err
+
+
+def _run_pair_once(tmp_path, mesh_kind, attempt):
     port = _free_port()
     script = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
-    outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
+    outs = [str(tmp_path / f"a{attempt}_proc{i}.npz") for i in range(2)]
     procs = [subprocess.Popen(
         [sys.executable, script, str(port), str(i), "2", outs[i], mesh_kind],
         env=_mp_env(4), stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
@@ -49,7 +63,7 @@ def _run_pair(tmp_path, mesh_kind):
     logs = []
     for pr in procs:
         try:
-            out, _ = pr.communicate(timeout=900)
+            out, _ = pr.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for p2 in procs:
                 p2.kill()
