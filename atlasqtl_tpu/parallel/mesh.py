@@ -40,13 +40,22 @@ P_AXIS = "p"
 
 def make_mesh(devices=None, p_shards: int = 1) -> Mesh:
     """1-D trait mesh by default; p_shards > 1 builds the 2-D (p, q) mesh
-    (pod-scale layout).  Pass a subset of jax.devices() to restrict."""
+    (pod-scale layout).  Pass a subset of jax.devices() to restrict.
+
+    2-D device layout: the p axis varies FASTEST over the device list, so
+    consecutive devices (same host / directly ICI-linked on a pod) form a
+    p-pipeline column.  The pipeline's per-step ppermute moves a big
+    (n, q_tile) fitted tile along p every step (parallel/pipeline.py) while
+    the q axis only carries small psums (Z row-sums, scalar moments), so p
+    belongs on the fast links and q on DCN — the layout the DESIGN §6
+    scaling argument assumes.  Under multi-process this also keeps every
+    ppermute pair intra-process (cross-process traffic = psums only)."""
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
     if p_shards > 1:
         assert devices.size % p_shards == 0, (devices.size, p_shards)
-        return Mesh(devices.reshape(p_shards, -1), (P_AXIS, Q_AXIS))
+        return Mesh(devices.reshape(-1, p_shards).T, (P_AXIS, Q_AXIS))
     return Mesh(devices, (Q_AXIS,))
 
 

@@ -8,17 +8,35 @@ processes and against the single-process reference fit.
 Usage: python _mp_worker.py <port> <process_id> <num_processes> <out.npz>
        [mesh: 1d|2d]
 """
+import faulthandler
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 port, pid, nproc, outfile = sys.argv[1:5]
 mesh_kind = sys.argv[5] if len(sys.argv) > 5 else "1d"
 
+# Watchdog: a healthy 2-CPU worker finishes in well under 8 minutes; a
+# cross-process rendezvous that missed its peer hangs forever at ~0% CPU.
+# Dump all-thread Python tracebacks and exit non-zero instead, so the
+# parent's retry fires quickly WITH a diagnosis in the log.
+faulthandler.dump_traceback_later(480, exit=True)
+
+
+def _mark(msg):
+    print(f"[mp-worker {pid} +{time.time() - _T0:.1f}s] {msg}", flush=True)
+
+
+_T0 = time.time()
+
 import jax  # noqa: E402
 
-jax.distributed.initialize(f"localhost:{port}", int(nproc), int(pid))
+_mark("initializing jax.distributed")
+jax.distributed.initialize(f"localhost:{port}", int(nproc), int(pid),
+                           initialization_timeout=120)
+_mark("initialized")
 assert jax.process_count() == int(nproc), jax.process_count()
 assert jax.device_count() == 8, jax.devices()
 assert jax.local_device_count() == 4
@@ -43,9 +61,12 @@ def simulate_fixture(n=100, p=75, p_act=10, q=20, seed=123):
 
 y, x = simulate_fixture(q=32)
 mesh = make_mesh(jax.devices(), p_shards=2 if mesh_kind == "2d" else 1)
+_mark(f"mesh built ({mesh_kind}), starting fit")
 res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
                   user_seed=123, mesh=mesh)
+_mark("fit done, saving")
 np.savez(outfile, gam=res.gam_vb, beta=res.beta_vb, theta=res.theta_vb,
          zeta=res.zeta_vb, lb=res.lb_opt, it=res.it,
          converged=res.converged)
+faulthandler.cancel_dump_traceback_later()
 print("mp-worker done", pid, res.it, res.lb_opt, flush=True)

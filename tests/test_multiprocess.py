@@ -56,20 +56,32 @@ def _run_pair_once(tmp_path, mesh_kind, attempt):
     port = _free_port()
     script = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     outs = [str(tmp_path / f"a{attempt}_proc{i}.npz") for i in range(2)]
-    procs = [subprocess.Popen(
-        [sys.executable, script, str(port), str(i), "2", outs[i], mesh_kind],
-        env=_mp_env(4), stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)]
-    logs = []
-    for pr in procs:
-        try:
-            out, _ = pr.communicate(timeout=1200)
-        except subprocess.TimeoutExpired:
-            for p2 in procs:
-                p2.kill()
-            raise
-        logs.append(out.decode(errors="replace"))
-    for pr, lg in zip(procs, logs):
+    # worker output goes to FILES, not pipes: both logs stream to disk
+    # concurrently (a PIPE is only drained one process at a time by the
+    # sequential communicate() below), and a timed-out attempt leaves a
+    # readable trace incl. the worker's faulthandler stack dump
+    logf = [str(tmp_path / f"a{attempt}_proc{i}.log") for i in range(2)]
+    procs = []
+    for i in range(2):
+        with open(logf[i], "wb") as fh:
+            procs.append(subprocess.Popen(
+                [sys.executable, script, str(port), str(i), "2", outs[i],
+                 mesh_kind],
+                env=_mp_env(4), stdout=fh, stderr=subprocess.STDOUT))
+    try:
+        for pr in procs:
+            # the workers' own 480 s faulthandler watchdog dumps stacks
+            # and exits first; this outer bound is the backstop
+            pr.wait(timeout=600)
+    except subprocess.TimeoutExpired:
+        for p2 in procs:
+            p2.kill()
+        for p2 in procs:
+            p2.wait()
+        raise
+    for pr, lf in zip(procs, logf):
+        with open(lf, errors="replace") as fh:
+            lg = fh.read()
         assert pr.returncode == 0, f"mp worker failed:\n{lg[-4000:]}"
     return [dict(np.load(o)) for o in outs]
 
