@@ -17,12 +17,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 port, pid, nproc, outfile = sys.argv[1:5]
 mesh_kind = sys.argv[5] if len(sys.argv) > 5 else "1d"
+maxit = int(sys.argv[6]) if len(sys.argv) > 6 else 1000
 
-# Watchdog: a healthy 2-CPU worker finishes in well under 8 minutes; a
-# cross-process rendezvous that missed its peer hangs forever at ~0% CPU.
-# Dump all-thread Python tracebacks and exit non-zero instead, so the
-# parent's retry fires quickly WITH a diagnosis in the log.
-faulthandler.dump_traceback_later(480, exit=True)
+# Watchdog: a healthy 2-CPU worker finishes in well under 5 minutes; a
+# cross-process collective that wedged (see docs/DESIGN.md §6: XLA-CPU
+# Gloo transport race) hangs forever at ~0% CPU.  Dump all-thread Python
+# tracebacks and exit non-zero instead, so the parent's retry fires
+# quickly WITH a diagnosis in the log.
+faulthandler.dump_traceback_later(
+    int(os.environ.get("MP_WATCHDOG_S", "300")), exit=True)
 
 
 def _mark(msg):
@@ -61,9 +64,9 @@ def simulate_fixture(n=100, p=75, p_act=10, q=20, seed=123):
 
 y, x = simulate_fixture(q=32)
 mesh = make_mesh(jax.devices(), p_shards=2 if mesh_kind == "2d" else 1)
-_mark(f"mesh built ({mesh_kind}), starting fit")
+_mark(f"mesh built ({mesh_kind}), starting fit (maxit={maxit})")
 res = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
-                  user_seed=123, mesh=mesh)
+                  user_seed=123, mesh=mesh, maxit=maxit)
 _mark("fit done, saving")
 np.savez(outfile, gam=res.gam_vb, beta=res.beta_vb, theta=res.theta_vb,
          zeta=res.zeta_vb, lb=res.lb_opt, it=res.it,

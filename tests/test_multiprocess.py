@@ -38,21 +38,24 @@ def _mp_env(n_dev):
     return env
 
 
-def _run_pair(tmp_path, mesh_kind):
-    # two attempts with fresh ports: the ephemeral-port grab between
-    # _free_port() and jax.distributed's bind is racy, and a loaded host
-    # can push the first attempt past its timeout (observed as a flaky
-    # suite failure under a concurrent TPU bench)
+def _run_pair(tmp_path, mesh_kind, maxit):
+    # three attempts with fresh ports: besides the (rare) ephemeral-port
+    # race at startup, the 2-process run occasionally wedges in a
+    # cross-process collective mid-fit with both workers aligned on the
+    # same iteration and every Gloo communicator connected — an
+    # XLA-CPU/Gloo transport race, not an application bug (stack dumps in
+    # the worker logs; real pods use ICI collectives, not Gloo).  Each
+    # worker's faulthandler watchdog bounds a wedged attempt to ~5 min.
     last_err = None
-    for attempt in range(2):
+    for attempt in range(3):
         try:
-            return _run_pair_once(tmp_path, mesh_kind, attempt)
+            return _run_pair_once(tmp_path, mesh_kind, attempt, maxit)
         except (AssertionError, subprocess.TimeoutExpired) as e:
             last_err = e
     raise last_err
 
 
-def _run_pair_once(tmp_path, mesh_kind, attempt):
+def _run_pair_once(tmp_path, mesh_kind, attempt, maxit):
     port = _free_port()
     script = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     outs = [str(tmp_path / f"a{attempt}_proc{i}.npz") for i in range(2)]
@@ -66,13 +69,13 @@ def _run_pair_once(tmp_path, mesh_kind, attempt):
         with open(logf[i], "wb") as fh:
             procs.append(subprocess.Popen(
                 [sys.executable, script, str(port), str(i), "2", outs[i],
-                 mesh_kind],
+                 mesh_kind, str(maxit)],
                 env=_mp_env(4), stdout=fh, stderr=subprocess.STDOUT))
     try:
         for pr in procs:
-            # the workers' own 480 s faulthandler watchdog dumps stacks
+            # the workers' own 300 s faulthandler watchdog dumps stacks
             # and exits first; this outer bound is the backstop
-            pr.wait(timeout=600)
+            pr.wait(timeout=420)
     except subprocess.TimeoutExpired:
         for p2 in procs:
             p2.kill()
@@ -90,14 +93,19 @@ def _run_pair_once(tmp_path, mesh_kind, attempt):
 def test_two_process_fit_matches_single(tmp_path, mesh_kind):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual mesh")
-    results = _run_pair(tmp_path, mesh_kind)
+    # 1d runs to full convergence; 2d caps at 20 iterations — identical
+    # placement/collective/allgather coverage (every code path fires
+    # every iteration) with ~3x fewer cross-process collectives exposed
+    # to the Gloo transport race documented in _run_pair
+    maxit = 20 if mesh_kind == "2d" else 1000
+    results = _run_pair(tmp_path, mesh_kind, maxit)
 
     # single-process reference on the same 8 (local) devices
     y, x, _ = simulate_fixture(q=32)
     mesh = make_mesh(jax.devices()[:8],
                      p_shards=2 if mesh_kind == "2d" else 1)
     ref = aq.atlasqtl(y, x, p0=(5, 25), dtype=jnp.float64, verbose=0,
-                      user_seed=123, mesh=mesh)
+                      user_seed=123, mesh=mesh, maxit=maxit)
 
     for r in results:
         assert bool(r["converged"]) == ref.converged
