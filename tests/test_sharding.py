@@ -36,6 +36,19 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+def test_2d_mesh_p_axis_is_minor():
+    """Device layout contract (docs/DESIGN.md §6): the p axis varies
+    FASTEST over the device list, so a p-pipeline column is a run of
+    consecutive devices — the per-step (n, q_tile) ppermute tiles ride
+    intra-host/ICI links and only the small q-axis psums cross hosts."""
+    mesh = pmesh.make_mesh(jax.devices()[:8], p_shards=2)
+    dev = np.asarray(mesh.devices)
+    assert dev.shape == (2, 4)
+    for qcol in range(4):
+        ids = [d.id for d in dev[:, qcol]]
+        assert ids[1] == ids[0] + 1, (qcol, ids)
+
+
 def test_sharded_iterations_match_single_device(setup):
     cfg, data, hyper, state, gram, mesh, p, q = setup
 
